@@ -1,0 +1,205 @@
+"""Multi-head attention for the ViT encoder: Pallas flash kernel + XLA fallback.
+
+The reference runs timm's eager attention (materializes [B,H,S,S] probs) on
+cuDNN (reference: src/generators/mipheivit.py via timm VisionTransformer).
+Here the forward is a Pallas TPU kernel with online softmax — logits never
+leave VMEM — and the backward is an XLA recompute-from-LSE pass (cheap at
+ViT sequence lengths, and XLA fuses it well). Sequence length is padded to a
+lane-aligned multiple of 128 inside the op; padded keys are masked with -inf
+so callers see exact softmax semantics at any S (e.g. 329 = 18x18 patches +
+1 cls + 4 reg tokens for H-Optimus-0 at 256px).
+
+Layout: [B, H, S, D] with D the per-head dim (64 for ViT-g). f32 accumulation
+everywhere; inputs may be bf16.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+BLOCK_Q = 128
+BLOCK_K = 128
+
+
+def _attn_reference(q, k, v, seq_len: int):
+    """Plain XLA attention (used as fallback and inside the backward)."""
+    s = q.shape[-2]
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if seq_len < s:
+        mask = jnp.arange(s) < seq_len
+        logits = jnp.where(mask[None, None, None, :], logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                  acc_ref, m_ref, l_ref, *, seq_len: int, kv_steps: int):
+    """One (batch*head, q-block) program; kv-block loop is the last grid dim."""
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0].astype(jnp.float32)          # [BLK_Q, D]
+    k = k_ref[0].astype(jnp.float32)          # [BLK_K, D]
+    v = v_ref[0].astype(jnp.float32)          # [BLK_K, D]
+    scale = 1.0 / np.sqrt(q.shape[-1])
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                  # [BLK_Q, BLK_K]
+
+    # Mask keys beyond the true sequence length (static padding mask).
+    key_pos = kv_idx * BLOCK_K + jax.lax.broadcasted_iota(
+        jnp.int32, logits.shape, dimension=1
+    )
+    logits = jnp.where(key_pos < seq_len, logits, _NEG_INF)
+
+    m_prev = m_ref[:]                          # [BLK_Q, 1]
+    m_cur = jnp.max(logits, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)                # [BLK_Q, BLK_K]
+
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = m_new
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kv_idx == kv_steps - 1)
+    def _finalize():
+        l = l_ref[:]
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        lse_ref[0] = (m_ref[:] + jnp.log(l))[:, 0]
+
+
+def _flash_forward(q, k, v, seq_len: int, interpret: bool):
+    b, h, s, d = q.shape
+    bh = b * h
+    qf = q.reshape(bh, s, d)
+    kf = k.reshape(bh, s, d)
+    vf = v.reshape(bh, s, d)
+    q_steps = s // BLOCK_Q
+    kv_steps = s // BLOCK_K
+
+    kernel = functools.partial(_flash_kernel, seq_len=seq_len, kv_steps=kv_steps)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, q_steps, kv_steps),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, BLOCK_K, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, BLOCK_K, d), lambda g, i, j: (g, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, BLOCK_Q), lambda g, i, j: (g, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, s), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_Q, d), jnp.float32),
+            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
+            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, s, d), lse.reshape(b, h, s)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_attention(q, k, v, seq_len: int, interpret: bool):
+    out, _ = _flash_forward(q, k, v, seq_len, interpret)
+    return out
+
+
+def _flash_fwd_rule(q, k, v, seq_len, interpret):
+    out, lse = _flash_forward(q, k, v, seq_len, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bwd_rule(seq_len, interpret, residuals, g):
+    """Flash backward via LSE recompute, in plain XLA.
+
+    At ViT sequence lengths the recomputed [B,H,S,S] prob block is small and
+    XLA fuses the chain; the flash forward already avoided materializing it
+    on the fwd pass, which is where the memory peak was.
+    """
+    q, k, v, out, lse = residuals
+    s = q.shape[-2]
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    of = out.astype(jnp.float32)
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qf, kf,
+                        preferred_element_type=jnp.float32) * scale
+    if seq_len < s:
+        mask = jnp.arange(s) < seq_len
+        logits = jnp.where(mask[None, None, None, :], logits, _NEG_INF)
+    p = jnp.exp(logits - lse[..., None])                     # softmax probs
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
+    delta = jnp.sum(gf * of, axis=-1, keepdims=True)         # rowsum(dO*O)
+    ds = p * (dp - delta) * scale
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf)
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def _pad_to(x, s_pad):
+    pad = s_pad - x.shape[-2]
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Scaled dot-product attention over [B, H, S, D].
+
+    impl: "flash" (Pallas TPU kernel), "xla" (plain), or "auto"
+    (flash on TPU, xla elsewhere). Numerics match plain softmax attention to
+    f32 accumulation tolerance for any S.
+    """
+    if impl == "auto":
+        impl = "flash" if jax.default_backend() == "tpu" else "xla"
+    seq_len = q.shape[-2]
+    if impl == "xla":
+        return _attn_reference(q, k, v, seq_len)
+    interpret = impl == "flash_interpret" or jax.default_backend() != "tpu"
+    block = max(BLOCK_Q, BLOCK_K)
+    s_pad = ((seq_len + block - 1) // block) * block
+    qp, kp, vp = (_pad_to(t, s_pad) for t in (q, k, v))
+    out = _flash_attention(qp, kp, vp, seq_len, interpret)
+    return out[..., :seq_len, :]

@@ -1,0 +1,155 @@
+"""Torch-parity image resizing as separable matmuls (MXU-friendly).
+
+Why not ``jax.image.resize``: checkpoint parity requires bit-level agreement
+with ``torch.nn.functional.interpolate``:
+
+  * torch's bicubic uses the Keys kernel with a = -0.75 (jax uses -0.5),
+  * torch does NOT antialias by default (jax.image.resize antialiases on any
+    downscale),
+  * both use half-pixel centers (align_corners=False) with border replication.
+
+The reference depends on this in two hot places: the encoder's 18x18 -> 16x16
+bicubic feature re-gridding (reference: src/generators/mipheivit.py:144-162)
+and the decoder's x2 bilinear upsampling (src/generators/mipheivit.py:89).
+
+Implementation: precompute a dense [out, in] interpolation matrix per spatial
+axis at trace time (shapes are static under jit) and contract with einsum.
+On TPU these become two MXU matmuls fused with surrounding ops — faster than
+gather-based resampling and exactly reproducible.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys cubic convolution kernel; a=-0.75 matches torch/OpenCV."""
+    x = np.abs(x)
+    out = np.where(
+        x <= 1.0,
+        ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0,
+        np.where(x < 2.0, (((x - 5.0) * x + 8.0) * x - 4.0) * a, 0.0),
+    )
+    return out
+
+
+def _linear_kernel(x: np.ndarray) -> np.ndarray:
+    x = np.abs(x)
+    return np.maximum(0.0, 1.0 - x)
+
+
+@functools.lru_cache(maxsize=256)
+def resize_matrix(
+    in_size: int,
+    out_size: int,
+    method: str = "bicubic",
+    antialias: bool = False,
+    dtype=np.float32,
+) -> np.ndarray:
+    """Dense [out_size, in_size] resampling matrix, torch semantics.
+
+    Half-pixel centers: src = (i + 0.5) * in/out - 0.5; taps outside the
+    image are clamped to the border (replicate), exactly like torch's
+    upsampling kernels. With ``antialias=True`` the kernel is stretched by
+    the scale factor on downscale (torch ``antialias=True`` / PIL behavior).
+    """
+    if method == "bicubic":
+        # torch's two bicubic paths differ: the default (antialias=False)
+        # uses the a=-0.75 Keys kernel with border replication; the
+        # antialias=True path matches PIL (a=-0.5, out-of-range taps
+        # dropped and weights renormalized).
+        a = -0.5 if antialias else -0.75
+        kernel = functools.partial(_cubic_kernel, a=a)
+        support = 2.0
+    elif method in ("bilinear", "linear"):
+        kernel, support = _linear_kernel, 1.0
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    scale = in_size / out_size
+    out = np.zeros((out_size, in_size), np.float64)
+    for i in range(out_size):
+        if antialias:
+            kscale = max(scale, 1.0)
+            center = (i + 0.5) * scale
+            lo = max(0, int(center - support * kscale + 0.5))
+            hi = min(in_size, int(center + support * kscale + 0.5))
+            taps = np.arange(lo, hi)
+            w = kernel((taps - center + 0.5) / kscale)
+            out[i, taps] = w / w.sum()
+        else:
+            src = (i + 0.5) * scale - 0.5
+            lo = int(np.floor(src - support)) + 1
+            hi = int(np.floor(src + support)) + 1
+            taps = np.arange(lo, hi + 1)
+            w = kernel(src - taps)
+            w = w / w.sum()
+            idx = np.clip(taps, 0, in_size - 1)
+            np.add.at(out[i], idx, w)
+    return out.astype(dtype)
+
+
+def _resize_hw(
+    x: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    method: str,
+    antialias: bool = False,
+) -> jnp.ndarray:
+    """Resize the last two dims of ``x`` (any leading dims) separably."""
+    in_h, in_w = x.shape[-2], x.shape[-1]
+    out_h, out_w = out_hw
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    # HIGHEST precision: these matrices are tiny; full-f32 MXU passes keep
+    # resampling bit-comparable with the fp32 torch reference.
+    if out_h != in_h:
+        mh = jnp.asarray(resize_matrix(in_h, out_h, method, antialias))
+        xf = jnp.einsum("oh,...hw->...ow", mh, xf,
+                        precision=jax.lax.Precision.HIGHEST)
+    if out_w != in_w:
+        mw = jnp.asarray(resize_matrix(in_w, out_w, method, antialias))
+        xf = jnp.einsum("ow,...hw->...ho", mw, xf,
+                        precision=jax.lax.Precision.HIGHEST)
+    return xf.astype(dt)
+
+
+def resize_bicubic(x, out_hw, antialias: bool = False):
+    """``F.interpolate(mode="bicubic", align_corners=False)`` parity.
+
+    x: [..., H, W]; used for encoder feature re-gridding
+    (reference: src/generators/mipheivit.py:161-162) and abs-pos-embed
+    resampling (src/generators/foundation_models.py:198-208 uses
+    timm ``resample_abs_pos_embed`` = bicubic + antialias=True).
+    """
+    return _resize_hw(x, tuple(out_hw), "bicubic", antialias)
+
+
+def resize_bilinear(x, out_hw, antialias: bool = False):
+    """``F.interpolate(mode="bilinear", align_corners=False)`` parity."""
+    return _resize_hw(x, tuple(out_hw), "bilinear", antialias)
+
+
+def upsample2x_bilinear(x):
+    """x2 bilinear upsample of [..., H, W] (decoder Fusion_Block,
+    reference: src/generators/mipheivit.py:89)."""
+    return _resize_hw(x, (x.shape[-2] * 2, x.shape[-1] * 2), "bilinear")
+
+
+def resize_nearest(x, out_hw, exact: bool = False):
+    """``F.interpolate(mode="nearest")`` (exact=False, floor(i*scale)) or
+    ``"nearest-exact"`` (half-pixel) parity; used for label masks."""
+    in_h, in_w = x.shape[-2], x.shape[-1]
+    out_h, out_w = out_hw
+    if exact:
+        idx_h = np.minimum((np.arange(out_h) + 0.5) * in_h / out_h, in_h - 1).astype(np.int32)
+        idx_w = np.minimum((np.arange(out_w) + 0.5) * in_w / out_w, in_w - 1).astype(np.int32)
+    else:
+        idx_h = np.minimum(np.floor(np.arange(out_h) * in_h / out_h), in_h - 1).astype(np.int32)
+        idx_w = np.minimum(np.floor(np.arange(out_w) * in_w / out_w), in_w - 1).astype(np.int32)
+    return x[..., idx_h, :][..., idx_w]
