@@ -1,0 +1,346 @@
+"""Checkpoint import: torch/timm state dicts -> flax param/batch_stats trees.
+
+Handles the three checkpoint flavors the reference ecosystem produces:
+
+  * raw timm foundation-model checkpoints (HF hub .bin / .safetensors /
+    local torch files — reference: src/generators/foundation_models.py:37-68),
+  * released MIPHEI-ViT generator safetensors with the frozen encoder
+    stripped (reference: scripts/ckpt_remove_foundation_model.py:7-22,
+    loaded strict=False at src/inference.py:135-153),
+  * Lightning ``model.weights.ckpt`` files (``generator.`` prefix,
+    reference: src/inference.py:79-84).
+
+Conversions are layout-only plus the documented abs-pos-embed resample
+(timm ``resample_abs_pos_embed`` = bicubic antialias, reference:
+foundation_models.py:198-208). All numpy; no torch needed for safetensors.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .vit import ViTConfig
+from ..ops.resize import resize_matrix
+
+
+# ---------------------------------------------------------------------------
+# state-dict loading
+
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a checkpoint file into a flat {name: np.ndarray} dict."""
+    path = str(path)
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    # torch pickle formats (.bin/.pth/.ckpt)
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if isinstance(obj, dict) and "model" in obj and all(
+        not hasattr(v, "numpy") for k, v in obj.items() if k != "model"
+    ):
+        obj = obj["model"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in obj.items()}
+
+
+def strip_prefix(state: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in state.items():
+        if k.startswith(prefix):
+            out[k[len(prefix):]] = v
+    return out
+
+
+def generator_state_dict(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Extract the generator from a Lightning checkpoint
+    (reference: src/inference.py:79-84); also strips torch.compile's
+    ``_orig_mod.`` (reference: src/utils.py:133-141)."""
+    if any(k.startswith("generator.") for k in state):
+        state = strip_prefix(state, "generator.")
+    return {k.replace("_orig_mod.", ""): v for k, v in state.items()}
+
+
+# ---------------------------------------------------------------------------
+# pos-embed resampling
+
+
+def resample_pos_embed(
+    pos: np.ndarray,
+    new_grid: Tuple[int, int],
+    num_prefix_tokens: int = 0,
+    old_grid: Optional[Tuple[int, int]] = None,
+) -> np.ndarray:
+    """timm ``resample_abs_pos_embed`` parity: bicubic + antialias=True
+    (PIL-style kernel), prefix tokens carried through untouched."""
+    prefix = pos[:, :num_prefix_tokens]
+    body = pos[:, num_prefix_tokens:]
+    n = body.shape[1]
+    if old_grid is None:
+        side = int(round(np.sqrt(n)))
+        old_grid = (side, side)
+    if tuple(old_grid) == tuple(new_grid):
+        return pos
+    d = body.shape[-1]
+    grid = body.reshape(old_grid[0], old_grid[1], d).astype(np.float64)
+    mh = resize_matrix(old_grid[0], new_grid[0], "bicubic", antialias=True).astype(np.float64)
+    mw = resize_matrix(old_grid[1], new_grid[1], "bicubic", antialias=True).astype(np.float64)
+    grid = np.einsum("oh,hwd->owd", mh, grid)
+    grid = np.einsum("ow,hwd->hod", mw, grid)
+    body = grid.reshape(1, new_grid[0] * new_grid[1], d).astype(pos.dtype)
+    if num_prefix_tokens:
+        return np.concatenate([prefix, body], axis=1)
+    return body
+
+
+# ---------------------------------------------------------------------------
+# ViT import
+
+
+def _t(w: np.ndarray) -> np.ndarray:
+    """torch Linear weight [out, in] -> flax Dense kernel [in, out]."""
+    return np.ascontiguousarray(w.T)
+
+
+def _conv(w: np.ndarray) -> np.ndarray:
+    """torch conv weight OIHW -> flax HWIO."""
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def detect_mlp_type(state: Dict[str, np.ndarray], prefix: str = "") -> str:
+    """Auto-detect packed-SwiGLU vs GELU MLP from fc1/fc2 shapes."""
+    for key in (f"{prefix}blocks.0.mlp.fc1.weight", f"{prefix}blocks.0.mlp.w12.weight"):
+        if key in state:
+            fc1_out = state[key].shape[0]
+            fc2_key = key.replace("fc1", "fc2").replace("w12", "w3")
+            fc2_in = state[fc2_key].shape[1]
+            return "swiglu" if fc1_out == 2 * fc2_in else "gelu"
+    raise KeyError(f"No MLP weights found under prefix {prefix!r}")
+
+
+def vit_params_from_torch(
+    state: Dict[str, np.ndarray],
+    cfg: ViTConfig,
+    prefix: str = "",
+) -> Dict:
+    """Build the flax param tree for ``VisionTransformer`` from timm keys.
+
+    Accepts both plain ``attn.qkv.weight`` and the LoRA-wrapped
+    ``attn.qkv.qkv.weight`` (+ ``lora_q/lora_v`` ``A``/``B``) layouts
+    (reference: src/generators/lora.py:21-33).
+    """
+
+    def get(key):
+        return np.asarray(state[prefix + key])
+
+    def has(key):
+        return (prefix + key) in state
+
+    # normalize mlp key flavor (hf dinov2 exports use w12/w3)
+    def mlp_key(i, which):
+        for a, b in (("fc1", "w12"), ("fc2", "w3")):
+            if which == a and not has(f"blocks.{i}.mlp.{a}.weight"):
+                return f"blocks.{i}.mlp.{b}"
+        return f"blocks.{i}.mlp.{which}"
+
+    params: Dict = {}
+    params["patch_embed"] = {
+        "kernel": _conv(get("patch_embed.proj.weight")),
+        "bias": get("patch_embed.proj.bias"),
+    }
+    if cfg.class_token:
+        params["cls_token"] = get("cls_token")
+    if cfg.reg_tokens:
+        params["reg_token"] = get("reg_token")
+
+    n_prefix_in_pos = 0 if cfg.no_embed_class else cfg.num_prefix_tokens
+    params["pos_embed"] = resample_pos_embed(
+        get("pos_embed"), cfg.grid_size, num_prefix_tokens=n_prefix_in_pos
+    )
+
+    def qkv_keys(i):
+        base = f"blocks.{i}.attn.qkv"
+        if has(f"{base}.qkv.weight"):  # LoRA-wrapped
+            return f"{base}.qkv", base
+        return base, base
+
+    layers = []
+    for i in range(cfg.depth):
+        qkv_base, lora_base = qkv_keys(i)
+        attn = {
+            "qkv": {
+                "kernel": _t(get(f"{qkv_base}.weight")),
+                "bias": get(f"{qkv_base}.bias"),
+            },
+            "proj": {
+                "kernel": _t(get(f"blocks.{i}.attn.proj.weight")),
+                "bias": get(f"blocks.{i}.attn.proj.bias"),
+            },
+        }
+        if cfg.lora_rank > 0:
+            for lq in ("lora_q", "lora_v"):
+                if has(f"{lora_base}.{lq}.A"):
+                    attn[lq] = {
+                        "A": get(f"{lora_base}.{lq}.A"),
+                        "B": get(f"{lora_base}.{lq}.B"),
+                    }
+                else:  # checkpoint without adapters: fresh init (zeros B)
+                    rng = np.random.default_rng(i)
+                    attn[lq] = {
+                        "A": (rng.standard_normal((cfg.embed_dim, cfg.lora_rank))
+                              / np.sqrt(cfg.lora_rank)).astype(np.float32),
+                        "B": np.zeros((cfg.lora_rank, cfg.embed_dim), np.float32),
+                    }
+        layer = {
+            "norm1": {"scale": get(f"blocks.{i}.norm1.weight"),
+                      "bias": get(f"blocks.{i}.norm1.bias")},
+            "attn": attn,
+            "norm2": {"scale": get(f"blocks.{i}.norm2.weight"),
+                      "bias": get(f"blocks.{i}.norm2.bias")},
+            "mlp": {
+                "fc1": {"kernel": _t(get(f"{mlp_key(i, 'fc1')}.weight")),
+                        "bias": get(f"{mlp_key(i, 'fc1')}.bias")},
+                "fc2": {"kernel": _t(get(f"{mlp_key(i, 'fc2')}.weight")),
+                        "bias": get(f"{mlp_key(i, 'fc2')}.bias")},
+            },
+        }
+        if cfg.init_values is not None:
+            layer["ls1"] = get(f"blocks.{i}.ls1.gamma")
+            layer["ls2"] = get(f"blocks.{i}.ls2.gamma")
+        layers.append(layer)
+
+    if cfg.scan_blocks:
+        import jax
+
+        params["blocks"] = jax.tree.map(lambda *xs: np.stack(xs, 0), *layers)
+    else:
+        for i, layer in enumerate(layers):
+            params[f"blocks_{i}"] = layer
+
+    params["norm"] = {"scale": get("norm.weight"), "bias": get("norm.bias")}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# decoder / generator import
+
+
+def _bn(state, base):
+    params = {"scale": np.asarray(state[f"{base}.weight"]),
+              "bias": np.asarray(state[f"{base}.bias"])}
+    stats = {"mean": np.asarray(state[f"{base}.running_mean"]),
+             "var": np.asarray(state[f"{base}.running_var"])}
+    return params, stats
+
+
+def _conv_p(state, base, bias=True):
+    p = {"kernel": _conv(np.asarray(state[f"{base}.weight"]))}
+    if bias:
+        p["bias"] = np.asarray(state[f"{base}.bias"])
+    return p
+
+
+def decoder_params_from_torch(
+    state: Dict[str, np.ndarray], out_chans: int, prefix: str = "decoder."
+) -> Tuple[Dict, Dict]:
+    """Detail_Capture import (reference key layout from
+    src/generators/mipheivit.py:166-219 + unet.py:407-438)."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    cs_p, cs_s = {}, {}
+    for i in range(3):
+        base = f"{prefix}convstream.convs.{i}"
+        conv = _conv_p(state, f"{base}.conv", bias=False)
+        bnp, bns = _bn(state, f"{base}.bn")
+        cs_p[f"convs_{i}"] = {"conv": conv, "bn": bnp}
+        cs_s[f"convs_{i}"] = {"bn": bns}
+    params["convstream"] = cs_p
+    stats["convstream"] = cs_s
+
+    for i in range(4):
+        base = f"{prefix}fusion_blks.{i}.conv"
+        conv = _conv_p(state, f"{base}.conv", bias=False)
+        bnp, bns = _bn(state, f"{base}.bn")
+        params[f"fusion_blks_{i}"] = {"conv": {"conv": conv, "bn": bnp}}
+        stats[f"fusion_blks_{i}"] = {"conv": {"bn": bns}}
+
+    for k in range(out_chans):
+        base = f"{prefix}segmentation_head_{k}"
+        att_p = {
+            "psi_conv1": _conv_p(state, f"{base}.0.psi.0"),
+            "psi_conv2": _conv_p(state, f"{base}.0.psi.3"),
+        }
+        bnp, bns = _bn(state, f"{base}.0.psi.1")
+        att_p["psi_bn"] = bnp
+        params[f"segmentation_head_{k}"] = {
+            "attention": att_p,
+            "conv": _conv_p(state, f"{base}.1"),
+        }
+        stats[f"segmentation_head_{k}"] = {"attention": {"psi_bn": bns}}
+
+    return params, stats
+
+
+def mipheivit_from_torch(
+    state: Dict[str, np.ndarray],
+    cfg: ViTConfig,
+    out_chans: int = 16,
+    encoder_state: Optional[Dict[str, np.ndarray]] = None,
+) -> Tuple[Dict, Dict]:
+    """Full-generator import -> (params, batch_stats).
+
+    ``state`` is the generator state dict (released safetensors or stripped
+    Lightning ckpt). When the encoder was FM-stripped, pass the raw
+    foundation checkpoint as ``encoder_state``; LoRA adapters present in
+    ``state`` override (matching strict=False + validate_load_info,
+    reference: src/inference.py:28-45, 135-153).
+    """
+    state = generator_state_dict(state)
+    enc_present = any(k.startswith("encoder.vit.") and ".lora" not in k
+                      for k in state)
+    if enc_present:
+        vit_state = strip_prefix(state, "encoder.vit.")
+    else:
+        if encoder_state is None:
+            raise ValueError(
+                "Checkpoint has the foundation encoder stripped "
+                "(scripts/ckpt_remove_foundation_model.py parity); pass "
+                "encoder_state with the raw foundation checkpoint."
+            )
+        vit_state = dict(encoder_state)
+        # graft LoRA adapters (and any stray encoder keys) from the generator
+        for k, v in strip_prefix(state, "encoder.vit.").items():
+            vit_state[k] = v
+        # the generator wraps qkv when LoRA was applied; normalize plain keys
+        if any(".qkv.qkv." in k for k in vit_state):
+            for k in list(vit_state):
+                m = re.match(r"(blocks\.\d+\.attn\.qkv)\.(weight|bias)$", k)
+                if m and f"{m.group(1)}.qkv.{m.group(2)}" not in vit_state:
+                    vit_state[f"{m.group(1)}.qkv.{m.group(2)}"] = vit_state.pop(k)
+
+    vit_params = vit_params_from_torch(vit_state, cfg)
+    dec_params, dec_stats = decoder_params_from_torch(state, out_chans)
+    params = {"encoder": {"vit": vit_params}, "decoder": dec_params}
+    batch_stats = {"decoder": dec_stats}
+    return params, batch_stats
+
+
+def validate_load(missing_keys, unexpected_keys) -> None:
+    """Parity with reference ``validate_load_info``
+    (src/inference.py:28-45)."""
+    if unexpected_keys:
+        raise ValueError(f"Unexpected keys in state_dict: {unexpected_keys}")
+    for key in missing_keys:
+        if ".lora" in key:
+            raise ValueError(f"Missing LoRA checkpoint in state_dict: {key}")
+        if not any(part in key for part in ("encoder.vit.", "encoder.model.")):
+            raise ValueError(f"Missing key in state_dict: {key}")

@@ -25,8 +25,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
-BLOCK_Q = 128
-BLOCK_K = 128
+_MAX_BLOCK = 512
+
+
+def _pick_block(s_pad: int) -> int:
+    """Largest multiple of 128 that divides s_pad, capped at _MAX_BLOCK.
+    ViT-scale sequences (<=512 after padding) run one whole-sequence block
+    per (batch*head) program — the online-softmax loop degenerates to a
+    single fused pass and DMA granularity stays large."""
+    best = 128
+    for cand in range(128, _MAX_BLOCK + 1, 128):
+        if s_pad % cand == 0:
+            best = cand
+    return best
 
 
 def _attn_reference(q, k, v, seq_len: int):
@@ -43,8 +54,9 @@ def _attn_reference(q, k, v, seq_len: int):
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
-                  acc_ref, m_ref, l_ref, *, seq_len: int, kv_steps: int):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
+                  acc_ref, m_ref, l_ref, *, seq_len: int, kv_steps: int,
+                  block_k: int):
     """One (batch*head, q-block) program; kv-block loop is the last grid dim."""
     kv_idx = pl.program_id(2)
 
@@ -64,7 +76,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
     ) * scale                                  # [BLK_Q, BLK_K]
 
     # Mask keys beyond the true sequence length (static padding mask).
-    key_pos = kv_idx * BLOCK_K + jax.lax.broadcasted_iota(
+    key_pos = kv_idx * block_k + jax.lax.broadcasted_iota(
         jnp.int32, logits.shape, dimension=1
     )
     logits = jnp.where(key_pos < seq_len, logits, _NEG_INF)
@@ -83,9 +95,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     @pl.when(kv_idx == kv_steps - 1)
     def _finalize():
-        l = l_ref[:]
-        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
-        lse_ref[0] = (m_ref[:] + jnp.log(l))[:, 0]
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
 def _flash_forward(q, k, v, seq_len: int, interpret: bool):
@@ -94,58 +104,55 @@ def _flash_forward(q, k, v, seq_len: int, interpret: bool):
     qf = q.reshape(bh, s, d)
     kf = k.reshape(bh, s, d)
     vf = v.reshape(bh, s, d)
-    q_steps = s // BLOCK_Q
-    kv_steps = s // BLOCK_K
+    block = _pick_block(s)
+    q_steps = s // block
+    kv_steps = s // block
 
-    kernel = functools.partial(_flash_kernel, seq_len=seq_len, kv_steps=kv_steps)
-    out, lse = pl.pallas_call(
+    kernel = functools.partial(_flash_kernel, seq_len=seq_len,
+                               kv_steps=kv_steps, block_k=block)
+    out = pl.pallas_call(
         kernel,
         grid=(bh, q_steps, kv_steps),
         in_specs=[
-            pl.BlockSpec((1, BLOCK_Q, d), lambda g, i, j: (g, i, 0)),
-            pl.BlockSpec((1, BLOCK_K, d), lambda g, i, j: (g, j, 0)),
-            pl.BlockSpec((1, BLOCK_K, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, block, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, block, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, block, d), lambda g, i, j: (g, j, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, BLOCK_Q, d), lambda g, i, j: (g, i, 0)),
-            pl.BlockSpec((1, BLOCK_Q), lambda g, i, j: (g, i)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, s, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, s), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((1, block, d), lambda g, i, j: (g, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((BLOCK_Q, d), jnp.float32),
-            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
-            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
+            pltpu.VMEM((block, d), jnp.float32),
+            pltpu.VMEM((block, 1), jnp.float32),
+            pltpu.VMEM((block, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(qf, kf, vf)
-    return out.reshape(b, h, s, d), lse.reshape(b, h, s)
+    return out.reshape(b, h, s, d)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _flash_attention(q, k, v, seq_len: int, interpret: bool):
-    out, _ = _flash_forward(q, k, v, seq_len, interpret)
-    return out
+    return _flash_forward(q, k, v, seq_len, interpret)
 
 
 def _flash_fwd_rule(q, k, v, seq_len, interpret):
-    out, lse = _flash_forward(q, k, v, seq_len, interpret)
-    return out, (q, k, v, out, lse)
+    out = _flash_forward(q, k, v, seq_len, interpret)
+    return out, (q, k, v, out)
 
 
 def _flash_bwd_rule(seq_len, interpret, residuals, g):
-    """Flash backward via LSE recompute, in plain XLA.
+    """Flash backward via logits recompute, in plain XLA.
 
-    At ViT sequence lengths the recomputed [B,H,S,S] prob block is small and
-    XLA fuses the chain; the flash forward already avoided materializing it
-    on the fwd pass, which is where the memory peak was.
+    At ViT sequence lengths the recomputed [B,H,S,S] logits block is small
+    and XLA fuses the chain; the flash forward already avoided materializing
+    it on the fwd pass, which is where the memory peak was. LSE is
+    recomputed from the logits rather than emitted by the kernel (TPU output
+    tiling would force padding a [*,S] f32 output to lane width).
     """
-    q, k, v, out, lse = residuals
+    q, k, v, out = residuals
     s = q.shape[-2]
     scale = 1.0 / np.sqrt(q.shape[-1])
     qf = q.astype(jnp.float32)
@@ -159,7 +166,8 @@ def _flash_bwd_rule(seq_len, interpret, residuals, g):
     if seq_len < s:
         mask = jnp.arange(s) < seq_len
         logits = jnp.where(mask[None, None, None, :], logits, _NEG_INF)
-    p = jnp.exp(logits - lse[..., None])                     # softmax probs
+    lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - lse)                                # softmax probs
     dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
     dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
     delta = jnp.sum(gf * of, axis=-1, keepdims=True)         # rowsum(dO*O)
@@ -198,8 +206,7 @@ def dot_product_attention(
     if impl == "xla":
         return _attn_reference(q, k, v, seq_len)
     interpret = impl == "flash_interpret" or jax.default_backend() != "tpu"
-    block = max(BLOCK_Q, BLOCK_K)
-    s_pad = ((seq_len + block - 1) // block) * block
+    s_pad = ((seq_len + 127) // 128) * 128
     qp, kp, vp = (_pad_to(t, s_pad) for t in (q, k, v))
     out = _flash_attention(qp, kp, vp, seq_len, interpret)
     return out[..., :seq_len, :]

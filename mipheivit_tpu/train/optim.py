@@ -1,0 +1,137 @@
+"""Optimizers, trainability masks, layer-wise LR decay.
+
+Reference recipe (src/models.py:348-387): Adam(0.5, 0.999, eps 1e-7), the
+pix2pix warmup/hold/decay LR schedule stepped per iteration, global-norm
+grad clip 1.0 (src/models.py:136), sqrt-batch LR scaling (src/train.py:163),
+and 0.65 layer-wise decay when a ViT encoder is fully trainable
+(src/models.py:349-358). Frozen-parameter semantics (LoRA mode freezes the
+foundation encoder except adapters — src/generators/lora.py:66-83) are a
+``zero_updates``-masked transform, so frozen weights stay bit-identical.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .schedule import pix2pix_schedule
+
+
+def path_of(keypath) -> str:
+    parts = []
+    for k in keypath:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def is_trainable(path: str, model_name: str) -> bool:
+    """myvitmatte: encoder frozen except LoRA adapters; decoder trainable
+    (reference: mipheivit get_vitmatte + apply_lora). unet_lora: same.
+    unet_frozen: whole encoder frozen but feature upsampler trainable
+    (reference: unet.py:69-75). Others: all trainable."""
+    if model_name.startswith("myvitmatte") or "lora" in model_name:
+        if path.startswith("encoder/"):
+            return "lora_q" in path or "lora_v" in path or \
+                "feature_upsampler" in path
+        return True
+    if "frozen" in model_name:
+        if path.startswith("encoder/") and "feature_upsampler" not in path:
+            return False
+        return True
+    return True
+
+
+def trainable_mask(params, model_name: str) -> Dict:
+    """True = trainable (see ``is_trainable``)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, _: is_trainable(path_of(kp), model_name), params)
+
+
+def layer_decay_multiplier(path: str, leaf, lr_decay_rate: float,
+                           num_layers: int):
+    if "pos_embed" in path or "patch_embed" in path or "cls_token" in path \
+            or "reg_token" in path:
+        return jnp.asarray(lr_decay_rate ** (num_layers + 1), jnp.float32)
+    if "/blocks/" in path or path.startswith("blocks/"):
+        # scanned: leading axis = layer index i -> decay^(num_layers - i)
+        exps = num_layers - jnp.arange(num_layers)
+        mult = lr_decay_rate ** exps.astype(jnp.float32)
+        shape = (num_layers,) + (1,) * (leaf.ndim - 1)
+        return mult.reshape(shape)
+    return jnp.asarray(1.0, jnp.float32)
+
+
+def _scale_by_layer_decay(lr_decay_rate: float,
+                          num_layers: int) -> optax.GradientTransformation:
+    """Lazy layer-decay scaling: multipliers derived from update paths."""
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        out = jax.tree_util.tree_map_with_path(
+            lambda kp, u: u * layer_decay_multiplier(
+                path_of(kp), u, lr_decay_rate, num_layers).astype(u.dtype),
+            updates,
+        )
+        return out, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def masked_updates(model_name: str) -> optax.GradientTransformation:
+    """Zero updates on frozen paths (keeps frozen params bit-exact). The
+    mask is derived lazily from the update pytree's own paths."""
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        out = jax.tree_util.tree_map_with_path(
+            lambda kp, u: u if is_trainable(path_of(kp), model_name)
+            else jnp.zeros_like(u),
+            updates,
+        )
+        return out, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def build_generator_optimizer(
+    model_name: str,
+    lr: float,
+    total_iters: int,
+    vit_lr_decay: bool = False,
+    num_layers: int = 40,
+    warmup_iters: int = 400,
+) -> optax.GradientTransformation:
+    chain = [optax.clip_by_global_norm(1.0)]
+    if vit_lr_decay:
+        chain.append(_scale_by_layer_decay(0.65, num_layers))
+    chain += [
+        optax.scale_by_adam(b1=0.5, b2=0.999, eps=1e-7),
+        optax.scale_by_schedule(
+            pix2pix_schedule(1.0, total_iters, warmup_iters)
+        ),
+        optax.scale(-lr),
+        masked_updates(model_name),
+    ]
+    return optax.chain(*chain)
+
+
+def build_discriminator_optimizer(lr: float, total_iters: int,
+                                  warmup_iters: int = 400):
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.scale_by_adam(b1=0.5, b2=0.999, eps=1e-7),
+        optax.scale_by_schedule(pix2pix_schedule(1.0, total_iters, warmup_iters)),
+        optax.scale(-lr),
+    )

@@ -1,0 +1,155 @@
+"""End-to-end numerics parity: flax model + weight import vs torch oracle.
+
+Tiny configs (dim 32, depth 2) keep it fast; every architectural mechanism
+of the flagship is exercised: packed SwiGLU, layerscale, reg tokens,
+no_embed_class pos embed, 14->16-style bicubic re-grid, conv/BN decoder,
+attention-gated heads, LoRA grafting.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from mipheivit_tpu.models import MipheiViT, ViTConfig, VisionTransformer
+from mipheivit_tpu.models.import_weights import (
+    detect_mlp_type,
+    mipheivit_from_torch,
+    resample_pos_embed,
+    vit_params_from_torch,
+)
+
+from torch_oracle import OracleDecoder, OracleMiphei, OracleViT
+
+
+def _tiny_cfg(**kw):
+    base = dict(
+        img_size=(32, 32), patch_size=4, embed_dim=32, depth=2, num_heads=2,
+        mlp_hidden_dim=64, mlp_type="swiglu", init_values=1e-5,
+        reg_tokens=4, no_embed_class=True, attn_impl="xla", remat=False,
+    )
+    base.update(kw)
+    return ViTConfig(**base)
+
+
+def _state(np_module):
+    return {k: v.detach().numpy() for k, v in np_module.state_dict().items()}
+
+
+@pytest.mark.parametrize("swiglu,reg,no_embed", [
+    (True, 4, True),    # hoptimus0-style
+    (False, 0, False),  # sp85m-style
+])
+def test_vit_matches_oracle(rng, swiglu, reg, no_embed):
+    torch.manual_seed(0)
+    oracle = OracleViT(img_size=32, patch=4, dim=32, depth=2, heads=2,
+                       hidden=64, reg_tokens=reg, swiglu=swiglu,
+                       ls=True, no_embed_class=no_embed).eval()
+    cfg = _tiny_cfg(mlp_type="swiglu" if swiglu else "gelu",
+                    reg_tokens=reg, no_embed_class=no_embed,
+                    mlp_hidden_dim=64 if swiglu else 64)
+    state = _state(oracle)
+    assert detect_mlp_type(state) == ("swiglu" if swiglu else "gelu")
+    params = vit_params_from_torch(state, cfg)
+
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    ours = np.asarray(
+        VisionTransformer(cfg).apply({"params": params}, jnp.array(x))
+    )
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_mipheivit_matches_oracle(rng):
+    torch.manual_seed(1)
+    vit = OracleViT(img_size=32, patch=4, dim=32, depth=2, heads=2,
+                    hidden=64, reg_tokens=4, swiglu=True)
+    dec = OracleDecoder(emb=32, out_chans=3)
+    oracle = OracleMiphei(vit, dec, num_prefix=5, grid=8, target_grid=2).eval()
+
+    cfg = _tiny_cfg()
+    params, batch_stats = mipheivit_from_torch(_state(oracle), cfg, out_chans=3)
+    model = MipheiViT(vit_cfg=cfg, out_chans=3)
+
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    ours = np.asarray(
+        model.apply({"params": params, "batch_stats": batch_stats},
+                    jnp.array(x), train=False)
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ours, ref, atol=3e-5, rtol=1e-4)
+
+
+def test_mipheivit_with_lora_from_stripped_ckpt(rng):
+    """FM-stripped checkpoint + separate encoder state + LoRA grafting
+    (reference: scripts/ckpt_remove_foundation_model.py parity)."""
+    torch.manual_seed(2)
+    vit = OracleViT(img_size=32, patch=4, dim=32, depth=2, heads=2,
+                    hidden=64, reg_tokens=4, swiglu=True)
+    dec = OracleDecoder(emb=32, out_chans=2)
+    oracle = OracleMiphei(vit, dec, num_prefix=5, grid=8, target_grid=2).eval()
+    full_state = _state(oracle)
+
+    # split: encoder checkpoint (timm layout) + generator with encoder stripped
+    enc_state = {k[len("encoder.vit."):]: v for k, v in full_state.items()
+                 if k.startswith("encoder.vit.")}
+    gen_state = {k: v for k, v in full_state.items()
+                 if not k.startswith("encoder.vit.")}
+    # add LoRA adapters in the reference's wrapped-qkv layout; B=0 => no-op
+    r = 4
+    for i in range(2):
+        gen_state[f"encoder.vit.blocks.{i}.attn.qkv.lora_q.A"] = (
+            rng.standard_normal((32, r)).astype(np.float32))
+        gen_state[f"encoder.vit.blocks.{i}.attn.qkv.lora_q.B"] = np.zeros((r, 32), np.float32)
+        gen_state[f"encoder.vit.blocks.{i}.attn.qkv.lora_v.A"] = (
+            rng.standard_normal((32, r)).astype(np.float32))
+        gen_state[f"encoder.vit.blocks.{i}.attn.qkv.lora_v.B"] = np.zeros((r, 32), np.float32)
+
+    cfg = _tiny_cfg(lora_rank=r)
+    params, batch_stats = mipheivit_from_torch(
+        gen_state, cfg, out_chans=2, encoder_state=enc_state)
+    model = MipheiViT(vit_cfg=cfg, out_chans=2)
+
+    x = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    ours = np.asarray(
+        model.apply({"params": params, "batch_stats": batch_stats},
+                    jnp.array(x), train=False)
+    ).transpose(0, 3, 1, 2)
+    # B=0 adapters are exact no-ops -> output must still match the oracle
+    np.testing.assert_allclose(ours, ref, atol=3e-5, rtol=1e-4)
+    # nonzero B must change the output (adapters actually wired in); the
+    # effect is strongly damped by layerscale gamma=1e-5, so perturb hard
+    # and use a roundoff-level threshold.
+    params["encoder"]["vit"]["blocks"]["attn"]["lora_q"]["B"] += 10.0
+    params["encoder"]["vit"]["blocks"]["attn"]["lora_v"]["B"] += 10.0
+    changed = np.asarray(
+        model.apply({"params": params, "batch_stats": batch_stats},
+                    jnp.array(x), train=False))
+    assert np.abs(changed.transpose(0, 3, 1, 2) - ref).max() > 1e-6
+
+
+def test_resample_pos_embed_matches_timm_semantics(rng):
+    """bicubic+antialias resample, prefix preserved."""
+    pos = rng.standard_normal((1, 1 + 9, 8)).astype(np.float32)
+    out = resample_pos_embed(pos, (5, 5), num_prefix_tokens=1)
+    assert out.shape == (1, 1 + 25, 8)
+    np.testing.assert_array_equal(out[:, :1], pos[:, :1])
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(pos[:, 1:].reshape(1, 3, 3, 8).transpose(0, 3, 1, 2)),
+        size=(5, 5), mode="bicubic", antialias=True,
+    ).numpy().transpose(0, 2, 3, 1).reshape(1, 25, 8)
+    np.testing.assert_allclose(out[:, 1:], ref, atol=1e-5)
+
+
+def test_init_shapes_scanned():
+    cfg = _tiny_cfg(scan_blocks=True, depth=3)
+    model = VisionTransformer(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    assert params["blocks"]["attn"]["qkv"]["kernel"].shape == (3, 32, 96)
+    assert params["pos_embed"].shape == (1, 64, 32)

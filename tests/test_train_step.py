@@ -1,0 +1,135 @@
+"""Train-step tests on a virtual 8-device CPU mesh (SURVEY.md §4 item 4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mipheivit_tpu.metrics import PixelMetrics
+from mipheivit_tpu.models import MipheiViT, ViTConfig
+from mipheivit_tpu.models.discriminator import DiscriminatorPatch
+from mipheivit_tpu.parallel import make_mesh, shard_batch, replicated
+from mipheivit_tpu.train.losses import weighted_mse_loss
+from mipheivit_tpu.train.optim import (
+    build_discriminator_optimizer,
+    build_generator_optimizer,
+    trainable_mask,
+)
+from mipheivit_tpu.train.steps import (
+    StepConfig,
+    create_train_state,
+    make_train_step,
+    make_eval_step,
+)
+
+
+def _tiny_model(lora_rank=2, out=4):
+    cfg = ViTConfig(
+        img_size=(32, 32), patch_size=4, embed_dim=32, depth=2, num_heads=2,
+        mlp_hidden_dim=64, reg_tokens=4, no_embed_class=True,
+        attn_impl="xla", remat=False, lora_rank=lora_rank,
+    )
+    return MipheiViT(vit_cfg=cfg, out_chans=out)
+
+
+def _batch(rng, b=8, out=4):
+    return {
+        "image": rng.standard_normal((b, 32, 32, 3)).astype(np.float32),
+        "target": rng.uniform(-0.9, 0.9, (b, 32, 32, out)).astype(np.float32),
+    }
+
+
+def test_train_step_gan_updates_and_freezing(rng):
+    model = _tiny_model()
+    disc = DiscriminatorPatch(ndf=8, n_layers=2)
+    loss_fn = weighted_mse_loss(50.0, np.ones(4, np.float32))
+    batch = _batch(rng)
+    gen_opt = build_generator_optimizer("myvitmatte", 1e-3, 100)
+    state = create_train_state(
+        jax.random.PRNGKey(0), model, gen_opt, disc,
+        build_discriminator_optimizer(1e-3, 100), sample_batch=batch)
+    step_cfg = StepConfig(gan_train=True)
+    train_step = jax.jit(make_train_step(
+        model, loss_fn, gen_opt, disc,
+        build_discriminator_optimizer(1e-3, 100), step_cfg))
+
+    metrics = PixelMetrics.zeros()
+    p0 = jax.tree.map(np.asarray, state.gen_params)
+    # note: LR warmup factor is 0 at step 0 (torch LambdaLR parity), so run
+    # 3 steps; LoRA B gets nonzero updates from step 2 on (A from step 3:
+    # its grad is 0 while B == 0).
+    state, metrics, log = train_step(state, batch, metrics)
+    state, metrics, log = train_step(state, _batch(rng), metrics)
+    state, metrics, log = train_step(state, _batch(rng), metrics)
+    assert np.isfinite(float(log["gen_loss"]))
+    assert np.isfinite(float(log["disc_adv_loss"]))
+    assert not bool(log["nan"])
+    assert int(state.step) == 3
+
+    p1 = jax.tree.map(np.asarray, state.gen_params)
+    # frozen encoder weights bit-identical; LoRA + decoder moved
+    qkv0 = p0["encoder"]["vit"]["blocks"]["attn"]["qkv"]["kernel"]
+    qkv1 = p1["encoder"]["vit"]["blocks"]["attn"]["qkv"]["kernel"]
+    np.testing.assert_array_equal(qkv0, qkv1)
+    lora0 = p0["encoder"]["vit"]["blocks"]["attn"]["lora_q"]["B"]
+    lora1 = p1["encoder"]["vit"]["blocks"]["attn"]["lora_q"]["B"]
+    assert np.abs(lora1 - lora0).max() > 0
+    d0 = p0["decoder"]["fusion_blks_0"]["conv"]["conv"]["kernel"]
+    d1 = p1["decoder"]["fusion_blks_0"]["conv"]["conv"]["kernel"]
+    assert np.abs(d1 - d0).max() > 0
+
+    out = metrics.compute()
+    assert np.isfinite(float(out["psnr"]))
+    assert -1.0 <= float(out["ssim"]) <= 1.0
+
+
+def test_train_step_sharded_over_mesh(rng):
+    """Same step, batch sharded over an 8-device CPU mesh: XLA inserts the
+    gradient all-reduce; result must match the expected API and stay finite."""
+    assert jax.device_count() == 8
+    mesh = make_mesh()
+    model = _tiny_model()
+    loss_fn = weighted_mse_loss(50.0, np.ones(4, np.float32))
+    gen_opt = build_generator_optimizer("myvitmatte", 1e-3, 100)
+    batch = _batch(rng, b=16)
+    state = create_train_state(jax.random.PRNGKey(0), model, gen_opt,
+                               sample_batch=batch)
+    train_step = jax.jit(make_train_step(model, loss_fn, gen_opt))
+
+    state = jax.device_put(state, replicated(mesh))
+    sharded = shard_batch(batch, mesh)
+    metrics = jax.device_put(PixelMetrics.zeros(), replicated(mesh))
+    state, metrics, log = train_step(state, sharded, metrics)
+    assert np.isfinite(float(log["gen_loss_sim"]))
+    # replicated-param output remains replicated; batch-sharded inputs consumed
+    assert int(state.step) == 1
+
+
+def test_eval_step(rng):
+    model = _tiny_model()
+    loss_fn = weighted_mse_loss(50.0, np.ones(4, np.float32))
+    gen_opt = build_generator_optimizer("myvitmatte", 1e-3, 100)
+    batch = _batch(rng)
+    state = create_train_state(jax.random.PRNGKey(0), model, gen_opt,
+                               sample_batch=batch)
+    eval_step = jax.jit(make_eval_step(model, loss_fn))
+    metrics, log = eval_step(state, batch, PixelMetrics.zeros())
+    assert log["pred"].shape == batch["target"].shape
+    assert np.isfinite(float(log["gen_loss_sim"]))
+
+
+def test_trainable_mask_paths():
+    params = {
+        "encoder": {"vit": {"blocks": {"attn": {
+            "qkv": {"kernel": np.zeros(1)},
+            "lora_q": {"A": np.zeros(1)},
+        }}}},
+        "decoder": {"conv": {"kernel": np.zeros(1)}},
+    }
+    mask = trainable_mask(params, "myvitmatte")
+    assert mask["encoder"]["vit"]["blocks"]["attn"]["qkv"]["kernel"] is False
+    assert mask["encoder"]["vit"]["blocks"]["attn"]["lora_q"]["A"] is True
+    assert mask["decoder"]["conv"]["kernel"] is True
+    mask_all = trainable_mask(params, "hemit")
+    assert mask_all["encoder"]["vit"]["blocks"]["attn"]["qkv"]["kernel"] is True
