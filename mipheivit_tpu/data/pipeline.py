@@ -40,7 +40,8 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, sampler=None, num_workers: int = 4,
-                 seed: int = 0, prefetch_batches: int = 4):
+                 seed: int = 0, prefetch_batches: int = 4,
+                 pad_to_batch: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -49,6 +50,7 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.prefetch_batches = prefetch_batches
+        self.pad_to_batch = pad_to_batch
         self.shard_index = 0
         self.num_shards = 1
 
@@ -98,7 +100,21 @@ class Loader:
                     seeds = rng.integers(0, 2 ** 31, size=len(batch_idx))
                     futs = [pool.submit(fetch_one, i, s)
                             for i, s in zip(batch_idx, seeds)]
-                    out_q.put(collate([f.result() for f in futs]))
+                    batch = collate([f.result() for f in futs])
+                    n = len(batch_idx)
+                    if self.pad_to_batch and n < self.batch_size:
+                        # pad arrays by repeating the last sample; "mask"
+                        # marks real entries for mask-aware eval metrics
+                        pad = self.batch_size - n
+                        for key, val in list(batch.items()):
+                            if isinstance(val, np.ndarray):
+                                batch[key] = np.concatenate(
+                                    [val, np.repeat(val[-1:], pad, axis=0)])
+                    if self.pad_to_batch:
+                        mask = np.zeros(self.batch_size, np.float32)
+                        mask[:n] = 1.0
+                        batch["mask"] = mask
+                    out_q.put(batch)
                 out_q.put(None)
             except BaseException as exc:  # propagate to consumer
                 out_q.put(exc)
@@ -119,7 +135,7 @@ class Loader:
 
 
 def device_prefetch(iterator, mesh=None, size: int = 2,
-                    device_keys=("image", "target", "nuclei")):
+                    device_keys=("image", "target", "nuclei", "mask")):
     """Double-buffer batches onto device. Array fields in ``device_keys``
     are device_put (sharded over the mesh data axis if given); the rest stay
     host-side (tile names, slide names)."""

@@ -1,0 +1,5 @@
+from .loading import load_generator
+from .tiles import inference_model
+from .wsi import wsi_inference
+
+__all__ = ["load_generator", "inference_model", "wsi_inference"]

@@ -39,10 +39,11 @@ def psnr(pred, target, data_range: Tuple[float, float] = (-0.9, 0.9)):
     return 10.0 * jnp.log10((hi - lo) ** 2 / mse)
 
 
-def ssim(pred, target, data_range: Tuple[float, float] = (-0.9, 0.9),
-         kernel_size: int = 11, sigma: float = 1.5,
-         k1: float = 0.01, k2: float = 0.03):
-    """Mean SSIM over a batch of NHWC images."""
+def ssim_per_image(pred, target,
+                   data_range: Tuple[float, float] = (-0.9, 0.9),
+                   kernel_size: int = 11, sigma: float = 1.5,
+                   k1: float = 0.01, k2: float = 0.03):
+    """Per-image SSIM over a batch of NHWC images -> [B]."""
     lo, hi = data_range
     rng = hi - lo
     pred = jnp.clip(pred, lo, hi).astype(jnp.float32)
@@ -72,7 +73,13 @@ def ssim(pred, target, data_range: Tuple[float, float] = (-0.9, 0.9),
     c2 = (k2 * rng) ** 2
     num = (2 * mu_p * mu_t + c1) * (2 * cov + c2)
     den = (mu_p ** 2 + mu_t ** 2 + c1) * (var_p + var_t + c2)
-    return jnp.mean(num / den)
+    return jnp.mean(num / den, axis=tuple(range(1, num.ndim)))
+
+
+def ssim(pred, target, data_range: Tuple[float, float] = (-0.9, 0.9),
+         **kw):
+    """Batch-mean SSIM."""
+    return jnp.mean(ssim_per_image(pred, target, data_range, **kw))
 
 
 @jax.tree_util.register_dataclass
@@ -91,15 +98,24 @@ class PixelMetrics:
         return cls(sse=z, count=z, ssim_sum=z, batches=z)
 
     def update(self, pred, target,
-               data_range: Tuple[float, float] = (-0.9, 0.9)) -> "PixelMetrics":
+               data_range: Tuple[float, float] = (-0.9, 0.9),
+               mask=None) -> "PixelMetrics":
+        """mask: optional [B] validity weights (padded eval batches)."""
         lo, hi = data_range
         p = jnp.clip(pred, lo, hi)
         t = jnp.clip(target, lo, hi)
+        per_image_elems = float(np.prod(pred.shape[1:]))
+        ssim_vals = ssim_per_image(pred, target, data_range)
+        if mask is None:
+            mask = jnp.ones(pred.shape[0], jnp.float32)
+        mask = mask.astype(jnp.float32)
+        mshape = (pred.shape[0],) + (1,) * (pred.ndim - 1)
         return PixelMetrics(
-            sse=self.sse + jnp.sum((p - t) ** 2),
-            count=self.count + np.prod(pred.shape),
-            ssim_sum=self.ssim_sum + ssim(pred, target, data_range),
-            batches=self.batches + 1.0,
+            sse=self.sse + jnp.sum((p - t) ** 2 * mask.reshape(mshape)),
+            count=self.count + jnp.sum(mask) * per_image_elems,
+            ssim_sum=self.ssim_sum + jnp.sum(ssim_vals * mask) /
+            jnp.maximum(jnp.sum(mask), 1.0),
+            batches=self.batches + jnp.minimum(jnp.sum(mask), 1.0),
         )
 
     def compute(self, data_range: Tuple[float, float] = (-0.9, 0.9)):

@@ -33,6 +33,18 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def make_data_mesh(batch_size: int, devices: Optional[Sequence] = None):
+    """Data-parallel mesh over the largest device count that divides the
+    batch; returns None when only one device would be used."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    if n <= 1:
+        return None
+    return make_mesh(n_data=n, devices=devices[:n])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading axis sharded over the data axis."""
     return NamedSharding(mesh, P("data"))

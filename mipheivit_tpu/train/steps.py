@@ -215,7 +215,8 @@ def make_eval_step(model, loss_reconstruct: Callable,
         fake = out[0] if cfg.foreground_head else out
         loss_sim = loss_reconstruct(y, fake)
         metrics = metrics.update(
-            jnp.clip(fake, *cfg.data_range), y, cfg.data_range)
+            jnp.clip(fake, *cfg.data_range), y, cfg.data_range,
+            mask=batch.get("mask"))
         return metrics, {"gen_loss_sim": loss_sim, "pred": fake}
 
     return eval_step

@@ -1,0 +1,320 @@
+"""Training driver: the full ``run.py`` path (reference: src/train.py:34-210).
+
+Wires dataframes + channel stats + normalizers + sampler + DataModule +
+generator + losses + (optional) PatchGAN discriminator + optimizers into
+the jitted GAN train step, runs the epoch loop with validation / cell
+metrics / checkpoint monitoring, and exports both orbax snapshots and the
+reference-format safetensors checkpoint.
+
+TPU specifics: one compiled train step, batch sharded over the mesh
+``data`` axis, params replicated; host input pipeline double-buffers
+batches; the NaN guard dumps ``weights_nan.safetensors`` and raises
+(reference: src/models.py:102-105).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+from ..config import Config, save_config
+from ..data.dataset import DataModule
+from ..data.pipeline import device_prefetch
+from ..data.sampler import BalancedPositiveSampler
+from ..data.stats import (
+    Normalizer,
+    get_effective_width_height,
+    get_input_mean_std,
+    load_channel_stats,
+)
+from ..metrics import PixelMetrics
+from ..metrics.cell import CellMetrics
+from ..models import get_generator
+from ..models.discriminator import DiscriminatorPatch
+from ..parallel import make_data_mesh, replicated, shard_batch
+from ..utils import MetricsLogger, save_image_grid
+from .cell_loss import build_cell_loss
+from .checkpoints import mipheivit_state_dict, save_safetensors, save_train_state
+from .losses import build_reconstruction_loss
+from .optim import build_discriminator_optimizer, build_generator_optimizer
+from .schedule import scaled_lr
+from .steps import (
+    StepConfig,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+log = logging.getLogger(__name__)
+
+
+def get_width_height(dataframe) -> tuple:
+    from_slide = "image_path" not in dataframe.columns
+    if from_slide:
+        return (int(dataframe["tile_size_x"].iloc[0]),
+                int(dataframe["tile_size_y"].iloc[0]))
+    from ..slideio import read_image
+
+    sample = read_image(dataframe["image_path"].iloc[0])
+    return sample.shape[1], sample.shape[0]
+
+
+def swap_augmentation_replicas(dataframe, augmentation_dir: str, prob: float,
+                               rng) -> pd.DataFrame:
+    """CycleGAN-normalized replica swap: with probability ``prob`` a tile's
+    image_path points at its stain-normalized copy for this epoch
+    (reference: src/callbacks.py:152-224, wired at src/train.py:195-199)."""
+    df = dataframe.copy()
+    aug_dir = Path(augmentation_dir)
+    mask = rng.random(len(df)) < prob
+    for idx in np.flatnonzero(mask):
+        orig = Path(df.iloc[idx]["image_path"])
+        cand = aug_dir / orig.name
+        if cand.exists():
+            df.iat[idx, df.columns.get_loc("image_path")] = str(cand)
+    return df
+
+
+def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
+                   max_steps_per_epoch: Optional[int] = None,
+                   use_wandb: bool = True) -> Dict:
+    import jax
+    import jax.numpy as jnp
+
+    logdir = Path(logdir)
+    logdir.mkdir(parents=True, exist_ok=True)
+    if dtype is None:
+        dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
+
+    train_df = pd.read_csv(cfg.data.train_dataframe_path)
+    val_df = pd.read_csv(cfg.data.val_dataframe_path)
+    test_df = pd.read_csv(cfg.data.test_dataframe_path)
+    log.info("%d train / %d val / %d test tiles",
+             len(train_df), len(val_df), len(test_df))
+    from_slide = "image_path" not in train_df.columns
+    slide_df = (pd.read_csv(cfg.data.slide_dataframe_path)
+                if cfg.data.slide_dataframe_path else None)
+    channel_stats = load_channel_stats(cfg.data.channel_stats_path)
+
+    width, height = get_width_height(train_df)
+    width, height = get_effective_width_height(width, height, train=True)
+    channel_names = list(cfg.data.targ_channel_names)
+    nc_out = len(channel_names)
+    targ_idxs = channel_stats.channel_idxs(channel_names)
+
+    he_norm = Normalizer(get_input_mean_std(
+        cfg.model.model_name, cfg.select("model.encoder.encoder_name"),
+        channel_stats.rgb), mode="he")
+    if_norm = Normalizer(mode="if")
+
+    sampler_cfg = cfg.train.data_sampler
+    sampler = None
+    if sampler_cfg.use_sampler:
+        sampler = BalancedPositiveSampler(
+            train_df, channel_names, sampler_cfg.tresh,
+            other_percent=sampler_cfg.other_percent)
+
+    use_cell_metrics = bool(cfg.train.use_cell_metrics) and slide_df is not None
+    dm = DataModule(
+        slide_dataframe=slide_df, train_dataframe=train_df,
+        val_dataframe=val_df, test_dataframe=test_df,
+        targ_channel_idxs=targ_idxs, batch_size=cfg.train.batch_size,
+        input_shape=(width, height), from_slide=from_slide,
+        return_nuclei=use_cell_metrics, train_sampler=sampler,
+        preprocess_input_fn=he_norm, preprocess_target_fn=if_norm,
+        seed=cfg.train.seed)
+    dm.setup()
+
+    model = get_generator(cfg.model.model_name, width, 3, nc_out, cfg,
+                          dtype=dtype)
+
+    loss_reconstruct = build_reconstruction_loss(
+        cfg, channel_names, channel_stats,
+        train_dataframe=train_df if cfg.train.losses.use_weighted_mae else None)
+
+    cell_loss_cfg = cfg.train.losses.cell_loss
+    cell_loss_fn = None
+    if cell_loss_cfg.use_loss:
+        cell_loss_fn = build_cell_loss(
+            cell_loss_cfg.mlp_path, nc_out, use_mse=cell_loss_cfg.use_mse,
+            use_clustering=cell_loss_cfg.use_clustering,
+            lambda_factor=cfg.train.losses.lambda_factor)
+
+    gan_train = bool(cfg.train.gan_train)
+    disc = None
+    if gan_train:
+        selected = None
+        if cfg.train.gan_mode in ("structural", "stuctural"):
+            mask = channel_stats.structural_mask(channel_names)
+            selected = [i for i, m in enumerate(mask) if m]
+        disc = DiscriminatorPatch(norm_layer_type=None,
+                                  selected_channels=selected)
+
+    steps_per_epoch = len(train_df) // cfg.train.batch_size
+    if max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
+    total_iters = max(steps_per_epoch * cfg.train.epochs, 1)
+
+    lr_g = scaled_lr(cfg.train.learning_rate_g, cfg.train.batch_size)
+    lr_d = scaled_lr(cfg.train.learning_rate_d, cfg.train.batch_size)
+    vit_lr_decay = cfg.model.model_name.startswith("unet") and \
+        "lora" not in cfg.model.model_name and "frozen" not in cfg.model.model_name
+    gen_opt = build_generator_optimizer(
+        cfg.model.model_name, lr_g, total_iters, vit_lr_decay=vit_lr_decay)
+    disc_opt = build_discriminator_optimizer(lr_d, total_iters) if gan_train else None
+
+    cell_metrics = None
+    if use_cell_metrics:
+        cell_metrics = CellMetrics(slide_df, channel_names)
+
+    step_cfg = StepConfig(
+        gan_train=gan_train,
+        lsgan=cfg.select("train.losses.adversarial_loss") == "lsgan",
+        foreground_head=bool(cfg.train.foreground_head),
+        use_cell_loss=cell_loss_fn is not None)
+
+    mesh = make_data_mesh(cfg.train.batch_size)
+
+    sample = next(iter(dm.loader("train", epoch=0)))
+    batch0 = {"image": np.asarray(sample["image"], np.float32),
+              "target": np.asarray(sample["target"], np.float32)}
+    if use_cell_metrics and "nuclei" in sample:
+        batch0["nuclei"] = sample["nuclei"]
+
+    gen_variables = None
+    if cfg.model.checkpoint_path:
+        from ..infer.loading import load_generator as _load
+
+        _, gen_variables = _load(cfg, str(Path(cfg.model.checkpoint_path).parent),
+                                 (height, width), nc_out, dtype=dtype)
+
+    state = create_train_state(
+        jax.random.PRNGKey(cfg.train.seed), model, gen_opt, disc, disc_opt,
+        sample_batch=batch0, gen_variables=gen_variables)
+
+    train_step = jax.jit(make_train_step(
+        model, loss_reconstruct, gen_opt, disc, disc_opt, step_cfg,
+        cell_loss_fn=cell_loss_fn))
+    eval_step = jax.jit(make_eval_step(model, loss_reconstruct, step_cfg))
+
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+
+    save_config(cfg, logdir / "config.yaml")
+    logger = MetricsLogger(str(logdir), project=cfg.train.wandb_project,
+                           run_name=logdir.name, config=cfg.to_dict(),
+                           use_wandb=use_wandb)
+
+    monitor = cfg.train.callbacks.modelcheckpoint.monitor
+    mode = cfg.train.callbacks.modelcheckpoint.mode
+    best = -np.inf if mode == "max" else np.inf
+    logreg_head = None
+    history = []
+    aug_rng = np.random.default_rng(cfg.train.seed)
+
+    def run_eval(split: str, epoch: int) -> Dict:
+        nonlocal logreg_head
+        metrics = PixelMetrics.zeros()
+        losses = []
+        loader = dm.loader(split, epoch=epoch)
+        loader.pad_to_batch = True   # fixed shapes: one compilation, mesh-safe
+        for batch in device_prefetch(loader, mesh=mesh, size=2):
+            b = {"image": batch["image"], "target": batch["target"],
+                 "mask": batch["mask"]}
+            metrics, elog = eval_step(state, b, metrics)
+            losses.append(float(elog["gen_loss_sim"]))
+            if use_cell_metrics and "nuclei" in batch:
+                n_valid = int(np.asarray(batch["mask"]).sum())
+                cell_metrics.update(elog["pred"][:n_valid],
+                                    batch["nuclei"][:n_valid],
+                                    batch["slide_name"][:n_valid])
+        out = {f"{split}_{k}": float(v) for k, v in metrics.compute().items()}
+        out[f"{split}_gen_loss_sim"] = float(np.mean(losses)) if losses else np.nan
+        if use_cell_metrics:
+            head = logreg_head if split == "test" else None
+            cm = cell_metrics.compute(logreg_head=head)
+            if split == "val":
+                logreg_head = cm["logreg_head"]
+            for key in ("auc", "auc_logreg", "balanced_acc", "f1"):
+                out[f"{split}_cell_{key}"] = float(cm[key])
+            for marker_col in cell_metrics.marker_cols:
+                for key in ("auc", "auc_logreg", "balanced_acc", "f1"):
+                    mk = f"{marker_col}_{key}"
+                    if mk in cm:
+                        out[f"{split}_cell_{key}_{marker_col}"] = float(cm[mk])
+        return out
+
+    def export_checkpoint(tag: str):
+        params = jax.tree.map(np.asarray, state.gen_params)
+        stats = jax.tree.map(np.asarray, state.gen_batch_stats)
+        if cfg.model.model_name.startswith("myvitmatte"):
+            sd = mipheivit_state_dict(params, stats, model.vit_cfg, nc_out)
+            save_safetensors(sd, str(logdir / f"{tag}.safetensors"))
+        save_train_state(state, str(logdir / "orbax"), step=int(state.step))
+
+    global_step = 0
+    for epoch in range(cfg.train.epochs):
+        if cfg.data.augmentation_dir and not from_slide:
+            dm.frames["train"] = swap_augmentation_replicas(
+                train_df, cfg.data.augmentation_dir, 0.25, aug_rng)
+            dm.setup()
+        train_metrics = PixelMetrics.zeros()
+        if mesh is not None:
+            train_metrics = jax.device_put(train_metrics, replicated(mesh))
+        loader = dm.loader("train", epoch=epoch)
+        epoch_losses: Dict[str, list] = {}
+        for i, batch in enumerate(device_prefetch(loader, mesh=mesh, size=2)):
+            if max_steps_per_epoch and i >= max_steps_per_epoch:
+                break
+            b = {"image": batch["image"], "target": batch["target"]}
+            if step_cfg.use_cell_loss:
+                b["nuclei"] = batch["nuclei"]
+            state, train_metrics, slog = train_step(state, b, train_metrics)
+            global_step += 1
+            for k, v in slog.items():
+                if k != "nan":
+                    epoch_losses.setdefault(k, []).append(float(v))
+            if global_step % 50 == 0:
+                logger.log({k: v[-1] for k, v in epoch_losses.items()},
+                           step=global_step)
+            if bool(slog["nan"]):
+                export_checkpoint("weights_nan")
+                raise ValueError("Nan found")  # reference: models.py:105
+            if global_step % 1000 == 1:
+                pred = np.asarray(
+                    eval_step(state, b, PixelMetrics.zeros())[1]["pred"])
+                save_image_grid(
+                    str(logdir / "logs_img" / f"step{global_step}.png"),
+                    he_norm.unormalize(np.asarray(batch["image"])),
+                    pred, np.asarray(b["target"]))
+        epoch_metrics = {f"train_{k}": float(v)
+                         for k, v in train_metrics.compute().items()}
+        epoch_metrics.update(
+            {k: float(np.mean(v)) for k, v in epoch_losses.items()})
+        epoch_metrics.update(run_eval("val", epoch))
+        epoch_metrics["epoch"] = epoch
+        logger.log(epoch_metrics, step=global_step)
+        history.append(epoch_metrics)
+        log.info("epoch %d: %s", epoch,
+                 {k: round(v, 4) for k, v in epoch_metrics.items()
+                  if isinstance(v, float)})
+
+        score = epoch_metrics.get(monitor)
+        if score is not None and (
+                (mode == "max" and score > best) or
+                (mode == "min" and score < best)):
+            best = score
+            export_checkpoint("model")
+            log.info("new best %s=%.4f -> checkpoint saved", monitor, best)
+
+    test_metrics = run_eval("test", cfg.train.epochs)
+    logger.log(test_metrics, step=global_step)
+    history.append(test_metrics)
+    (logdir / "status.txt").write_text("finished")  # reference: run.py:38-45
+    logger.finish()
+    return {"history": history, "best": best, "state": state}

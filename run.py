@@ -1,0 +1,46 @@
+"""Training entry point (reference run.py parity, hydra-free).
+
+Usage: ``python run.py [+default_configs=miphei-vit] [++train.epochs=15] ...``
+Creates ``logs/patchgan_<markers>_<timestamp>/`` with the resolved
+config.yaml, a not-finished/finished ``status.txt`` sentinel, and a
+``github_log.txt`` with the git SHA + diff (reference: run.py:16-72).
+"""
+
+import logging
+import subprocess
+import sys
+from datetime import datetime
+from pathlib import Path
+
+from mipheivit_tpu.config import compose
+from mipheivit_tpu.train.trainer import train_patchgan
+
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s %(name)s %(levelname)s %(message)s")
+
+
+def write_github_logs(logdir: Path) -> None:
+    try:
+        sha = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
+                             text=True).stdout.strip()
+        diff = subprocess.run(["git", "diff"], capture_output=True,
+                              text=True).stdout
+        (logdir / "github_log.txt").write_text(f"commit {sha}\n\n{diff}")
+    except Exception:
+        pass
+
+
+def main() -> None:
+    cfg = compose(sys.argv[1:])
+    timestamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    Path("logs").mkdir(exist_ok=True)
+    markers = "_".join(map(str, cfg.data.targ_channel_names))
+    logdir = Path("logs") / f"patchgan_{markers}_{timestamp}"
+    logdir.mkdir(parents=True)
+    (logdir / "status.txt").write_text("not finished")
+    write_github_logs(logdir)
+    train_patchgan(cfg, str(logdir))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,203 @@
+"""Checkpoint exchange roundtrip + inference driver end-to-end."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mipheivit_tpu.config import compose, save_config
+from mipheivit_tpu.models import MipheiViT, ViTConfig
+from mipheivit_tpu.models.import_weights import mipheivit_from_torch
+from mipheivit_tpu.train.checkpoints import (
+    latest_checkpoint,
+    mipheivit_state_dict,
+    restore_train_state,
+    save_safetensors,
+    save_train_state,
+)
+from mipheivit_tpu.slideio import TiffSlide, write_pyramid
+
+
+def _tiny_cfg(lora=2):
+    return ViTConfig(
+        img_size=(32, 32), patch_size=4, embed_dim=32, depth=2, num_heads=2,
+        mlp_hidden_dim=64, reg_tokens=4, no_embed_class=True,
+        attn_impl="xla", remat=False, lora_rank=lora)
+
+
+def test_state_dict_roundtrip(rng):
+    """export -> import reproduces params bit-exactly (full + FM-stripped)."""
+    cfg = _tiny_cfg()
+    model = MipheiViT(vit_cfg=cfg, out_chans=3)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                           train=False)
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+
+    # full export
+    sd = mipheivit_state_dict(params, stats, cfg, out_chans=3)
+    p2, s2 = mipheivit_from_torch(sd, cfg, out_chans=3)
+    jax.tree.map(np.testing.assert_array_equal, params, p2)
+    jax.tree.map(np.testing.assert_array_equal, stats, s2)
+
+    # FM-stripped export + separate encoder checkpoint
+    stripped = mipheivit_state_dict(params, stats, cfg, out_chans=3,
+                                    strip_foundation=True)
+    assert not any(k.startswith("encoder.vit.patch_embed") for k in stripped)
+    assert any(".lora_q.A" in k for k in stripped)
+    from mipheivit_tpu.train.checkpoints import vit_state_dict
+
+    enc_sd = vit_state_dict(params["encoder"]["vit"],
+                            cfg.replace(lora_rank=0), "")
+    p3, s3 = mipheivit_from_torch(stripped, cfg, out_chans=3,
+                                  encoder_state=enc_sd)
+    jax.tree.map(np.testing.assert_array_equal, params, p3)
+
+
+def test_safetensors_roundtrip(tmp_path, rng):
+    cfg = _tiny_cfg()
+    model = MipheiViT(vit_cfg=cfg, out_chans=2)
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)),
+                           train=False)
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+    sd = mipheivit_state_dict(params, stats, cfg, out_chans=2)
+    path = tmp_path / "model.safetensors"
+    save_safetensors(sd, str(path))
+
+    from mipheivit_tpu.models.import_weights import load_state_dict
+
+    loaded = load_state_dict(str(path))
+    p2, _ = mipheivit_from_torch(loaded, cfg, out_chans=2)
+    jax.tree.map(np.testing.assert_array_equal, params, p2)
+
+
+def test_orbax_train_state_roundtrip(tmp_path, rng):
+    from mipheivit_tpu.metrics import PixelMetrics
+    from mipheivit_tpu.train.losses import weighted_mse_loss
+    from mipheivit_tpu.train.optim import build_generator_optimizer
+    from mipheivit_tpu.train.steps import create_train_state, make_train_step
+
+    cfg = _tiny_cfg()
+    model = MipheiViT(vit_cfg=cfg, out_chans=2)
+    batch = {
+        "image": rng.standard_normal((2, 32, 32, 3)).astype(np.float32),
+        "target": rng.uniform(-0.9, 0.9, (2, 32, 32, 2)).astype(np.float32),
+    }
+    opt = build_generator_optimizer("myvitmatte", 1e-3, 10)
+    state = create_train_state(jax.random.PRNGKey(0), model, opt,
+                               sample_batch=batch)
+    step = jax.jit(make_train_step(
+        model, weighted_mse_loss(50.0, np.ones(2, np.float32)), opt))
+    state, _, _ = step(state, batch, PixelMetrics.zeros())
+
+    path = save_train_state(state, str(tmp_path / "ckpts"))
+    assert latest_checkpoint(str(tmp_path / "ckpts")) == path
+    abstract = jax.tree.map(np.asarray, state)
+    restored = restore_train_state(path, abstract)
+    assert int(restored.step) == 1
+    jax.tree.map(np.testing.assert_array_equal,
+                 jax.tree.map(np.asarray, state.gen_params),
+                 restored.gen_params)
+
+
+@pytest.fixture
+def inference_setup(tmp_path, rng):
+    """Checkpoint dir (config.yaml + model.safetensors) + tile dataframe."""
+    import cv2
+
+    cfg = compose(["+default_configs=miphei-vit"])
+    # shrink the encoder for test speed by monkeypatching get_generator via
+    # config: use the tiny model through the myvitmatte path is not possible,
+    # so instead we build the tiny model directly and save in reference format.
+    vit_cfg = _tiny_cfg(lora=8)
+    model = MipheiViT(vit_cfg=vit_cfg, out_chans=3)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                           train=False)
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    save_safetensors(
+        mipheivit_state_dict(params, stats, vit_cfg, out_chans=3),
+        str(ckpt_dir / "model.safetensors"))
+
+    tiles_dir = tmp_path / "tiles"
+    tiles_dir.mkdir()
+    rows = []
+    for i in range(5):
+        img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        path = str(tiles_dir / f"t{i}.png")
+        cv2.imwrite(path, img)
+        rows.append({"image_path": path})
+    df = pd.DataFrame(rows)
+    df_path = tmp_path / "test.csv"
+    df.to_csv(df_path, index=False)
+
+    stats_json = {
+        "RGB": {"mean": [180.0, 140.0, 170.0], "std": [40.0, 45.0, 35.0]},
+        "CD31": {"idx_channel": 0, "std": 10.0, "min": 0, "is_structural": True},
+        "CD3e": {"idx_channel": 1, "std": 11.0, "min": 0, "is_structural": False},
+        "Ki67": {"idx_channel": 2, "std": 12.0, "min": 0, "is_structural": False},
+    }
+    stats_path = tmp_path / "channel_stats.json"
+    stats_path.write_text(json.dumps(stats_json))
+
+    cfg.data.test_dataframe_path = str(df_path)
+    cfg.data.channel_stats_path = str(stats_path)
+    cfg.data.targ_channel_names = ["CD31", "CD3e", "Ki67"]
+    cfg.train.batch_size = 2
+    save_config(cfg, ckpt_dir / "config.yaml")
+    return cfg, str(ckpt_dir), vit_cfg, (model, variables)
+
+
+def test_inference_model_writes_tiles(inference_setup, tmp_path, monkeypatch):
+    cfg, ckpt_dir, vit_cfg, _ = inference_setup
+    # route generator construction to the tiny config
+    import mipheivit_tpu.infer.loading as loading
+
+    monkeypatch.setattr(
+        loading, "build_generator",
+        lambda cfg, img_size, nc_out, dtype="float32":
+        MipheiViT(vit_cfg=vit_cfg, out_chans=nc_out))
+
+    from mipheivit_tpu.infer import inference_model
+
+    out_dir = inference_model(cfg, ckpt_dir, str(tmp_path / "preds"))
+    outs = sorted(Path(out_dir).glob("*.tiff"))
+    assert len(outs) == 5
+    ts = TiffSlide(str(outs[0]))
+    assert ts.n_channels == 3
+    arr = ts.read_region((0, 0), 0, (32, 32))
+    assert arr.dtype == np.uint8
+    ts.close()
+
+
+def test_wsi_inference_stitching(inference_setup, tmp_path):
+    cfg, ckpt_dir, vit_cfg, (model, variables) = inference_setup
+    from mipheivit_tpu.data.stats import Normalizer
+    from mipheivit_tpu.infer import wsi_inference
+
+    rng = np.random.default_rng(5)
+    he = rng.integers(100, 255, (3, 96, 96), dtype=np.uint8)
+    slide_path = str(tmp_path / "wsi.tiff")
+    write_pyramid(slide_path, he, n_levels=2, tile_size=32)
+    he_norm = Normalizer({"mean": [180.0] * 3, "std": [40.0] * 3}, "he")
+    out = wsi_inference(
+        model, variables, slide_path, str(tmp_path / "pred.ome.tiff"),
+        ["CD31", "CD3e", "Ki67"], he_norm, tile_size=32, overlap=8,
+        batch_size=2, tissue_only=False, n_pyramid_levels=2)
+    ts = TiffSlide(out)
+    assert ts.n_channels == 3
+    assert ts.level_dimensions[0] == (96, 96)
+    full = ts.read_region((0, 0), 0, (96, 96))
+    assert full.dtype == np.uint8
+    # stitched output has no zero seams: every pixel was covered
+    assert (full.sum(axis=-1) > 0).mean() > 0.99
+    ts.close()

@@ -1,0 +1,113 @@
+"""End-to-end training driver on synthetic data (tiny model, 2 epochs)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mipheivit_tpu.config import compose
+from mipheivit_tpu.models import MipheiViT, ViTConfig
+from mipheivit_tpu.slideio import write_pyramid
+
+
+@pytest.fixture
+def synthetic_run(tmp_path, rng, monkeypatch):
+    """Tile tree + dataframes + channel stats + tiny-model config."""
+    import cv2
+
+    tiles = tmp_path / "tiles"
+    tiles.mkdir()
+    markers = ["CD31", "CD3e"]
+    rows = []
+    for i in range(12):
+        he = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        mif = rng.integers(0, 255, (2, 32, 32), dtype=np.uint8)
+        nuc = np.zeros((1, 32, 32), np.int32)
+        nuc[0, 4:20, 4:20] = 100 + i
+        img = str(tiles / f"t{i}.png")
+        cv2.imwrite(img, cv2.cvtColor(he, cv2.COLOR_RGB2BGR))
+        targ = str(tiles / f"t{i}_mif.tiff")
+        write_pyramid(targ, mif, n_levels=1, tile_size=32)
+        nucp = str(tiles / f"t{i}_nuc.tiff")
+        write_pyramid(nucp, nuc, n_levels=1, tile_size=32)
+        rows.append({"image_path": img, "target_path": targ,
+                     "nuclei_path": nucp, "in_slide_name": "s0",
+                     "CD31_count": i, "CD31_prop": 0.1,
+                     "CD3e_count": 12 - i, "CD3e_prop": 0.05})
+    df = pd.DataFrame(rows)
+    train_csv = tmp_path / "train.csv"
+    df.iloc[:8].to_csv(train_csv, index=False)
+    val_csv = tmp_path / "val.csv"
+    df.iloc[8:10].to_csv(val_csv, index=False)
+    test_csv = tmp_path / "test.csv"
+    df.iloc[10:].to_csv(test_csv, index=False)
+
+    cells = pd.DataFrame([{"label": 100 + i, "CD31_pos": i % 2 == 0,
+                           "CD3e_pos": i % 3 == 0} for i in range(12)])
+    cells_csv = tmp_path / "cells.csv"
+    cells.to_csv(cells_csv, index=False)
+    slide_csv = tmp_path / "slides.csv"
+    pd.DataFrame([{"in_slide_name": "s0", "in_slide_path": "",
+                   "targ_slide_path": "", "nuclei_slide_path": "",
+                   "nuclei_csv_path": str(cells_csv)}]).to_csv(
+        slide_csv, index=False)
+
+    stats = {
+        "RGB": {"mean": [180.0, 140.0, 170.0], "std": [40.0, 45.0, 35.0]},
+        "CD31": {"idx_channel": 0, "std": 10.0, "min": 0, "is_structural": True},
+        "CD3e": {"idx_channel": 1, "std": 12.0, "min": 0, "is_structural": False},
+    }
+    stats_path = tmp_path / "channel_stats.json"
+    stats_path.write_text(json.dumps(stats))
+
+    cfg = compose(["+default_configs=miphei-vit"])
+    cfg.data.train_dataframe_path = str(train_csv)
+    cfg.data.val_dataframe_path = str(val_csv)
+    cfg.data.test_dataframe_path = str(test_csv)
+    cfg.data.slide_dataframe_path = str(slide_csv)
+    cfg.data.channel_stats_path = str(stats_path)
+    cfg.data.targ_channel_names = markers
+    cfg.data.augmentation_dir = None
+    cfg.train.epochs = 2
+    cfg.train.batch_size = 4
+    cfg.train.use_cell_metrics = True
+    cfg.train.gan_train = True
+    cfg.train.gan_mode = "structural"
+
+    tiny = ViTConfig(img_size=(32, 32), patch_size=4, embed_dim=32, depth=2,
+                     num_heads=2, mlp_hidden_dim=64, reg_tokens=4,
+                     attn_impl="xla", remat=False, lora_rank=4)
+    import mipheivit_tpu.train.trainer as trainer_mod
+
+    monkeypatch.setattr(
+        trainer_mod, "get_generator",
+        lambda name, w, ci, co, cfg, dtype="float32":
+        MipheiViT(vit_cfg=tiny, out_chans=co))
+    return cfg, tmp_path
+
+
+def test_train_patchgan_end_to_end(synthetic_run):
+    from mipheivit_tpu.train.trainer import train_patchgan
+
+    cfg, tmp_path = synthetic_run
+    logdir = tmp_path / "run"
+    out = train_patchgan(cfg, str(logdir), dtype="float32", use_wandb=False)
+
+    assert (logdir / "config.yaml").exists()
+    assert (logdir / "status.txt").read_text() == "finished"
+    assert (logdir / "metrics.jsonl").exists()
+    lines = [json.loads(l) for l in (logdir / "metrics.jsonl").read_text().splitlines()]
+    epoch_logs = [l for l in lines if "val_psnr" in l]
+    assert len(epoch_logs) >= 2
+    assert np.isfinite(epoch_logs[-1]["val_psnr"])
+    assert "val_cell_auc" in epoch_logs[-1]
+    # best-checkpoint exports exist (monitor = val_cell_auc, mode max)
+    assert (logdir / "model.safetensors").exists()
+    assert (logdir / "orbax").exists()
+    # GAN was actually training
+    gan_logs = [l for l in lines if "disc_adv_loss" in l]
+    assert gan_logs and np.isfinite(gan_logs[-1]["disc_adv_loss"])
+    # test epoch ran
+    assert any("test_psnr" in l for l in lines)
