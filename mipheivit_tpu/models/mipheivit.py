@@ -107,12 +107,14 @@ class SegmentationHead(nn.Module):
 
     use_attention: bool = True
     activation: str = "tanh"
+    out_channels: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.use_attention:
             x = AttentionGate(name="attention")(x, train)
-        x = nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
+        x = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=True,
                     kernel_init=conv_init, name="conv", dtype=x.dtype)(x)
         if self.activation == "tanh":
             x = jnp.tanh(x)

@@ -171,14 +171,23 @@ class Block(nn.Module):
                 nn.LayerNorm(epsilon=cfg.norm_eps, name="norm2", dtype=x.dtype)(x)
             ),
         )
-        return x, None
+        # y = x so intermediate taps are available under nn.scan; jax DCE
+        # prunes the stacked buffer whenever the caller ignores ys.
+        return x, x
 
 
 class VisionTransformer(nn.Module):
     """Returns the full token sequence after the final norm:
-    [B, num_prefix_tokens + gh*gw, embed_dim]."""
+    [B, num_prefix_tokens + gh*gw, embed_dim].
+
+    ``intermediates`` (static tuple of block indices) additionally returns
+    the un-normed token sequence after those blocks (timm
+    ``forward_intermediates(norm=False)`` parity, used by the UNETR
+    pyramid encoder — reference: src/generators/unet.py:161-168).
+    """
 
     cfg: ViTConfig
+    intermediates: Optional[Tuple[int, ...]] = None
 
     @nn.compact
     def __call__(self, x):  # x: [B, H, W, 3] (already normalized)
@@ -222,20 +231,27 @@ class VisionTransformer(nn.Module):
             )
             x = x + pos.astype(x.dtype)
 
+        inter = []
         block_cls = Block
         if cfg.remat:
             block_cls = nn.remat(Block, prevent_cse=False)
         if cfg.scan_blocks:
-            x, _ = nn.scan(
+            x, ys = nn.scan(
                 block_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 in_axes=nn.broadcast,
                 length=cfg.depth,
             )(cfg, name="blocks")(x, None)
+            if self.intermediates:
+                inter = [ys[i] for i in self.intermediates]
         else:
             for i in range(cfg.depth):
                 x, _ = block_cls(cfg, name=f"blocks_{i}")(x, None)
+                if self.intermediates and i in self.intermediates:
+                    inter.append(x)
 
         x = nn.LayerNorm(epsilon=cfg.norm_eps, name="norm", dtype=x.dtype)(x)
+        if self.intermediates:
+            return x, inter
         return x
