@@ -1,0 +1,150 @@
+"""Evaluation scripts end-to-end on synthetic tiles + tiny model."""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).parent.parent / "evaluation"))
+
+from mipheivit_tpu.config import compose, save_config
+from mipheivit_tpu.models import MipheiViT, ViTConfig
+from mipheivit_tpu.train.checkpoints import (
+    mipheivit_state_dict,
+    save_safetensors,
+)
+from mipheivit_tpu.slideio import write_pyramid
+
+
+@pytest.fixture
+def eval_setup(tmp_path, rng, monkeypatch):
+    """Checkpoint + ORION-like synthetic dataset where marker intensity
+    correlates with ground-truth positivity."""
+    import cv2
+
+    markers = ["Hoechst", "CD31", "CD3e"]
+    vit_cfg = ViTConfig(img_size=(32, 32), patch_size=4, embed_dim=32,
+                        depth=2, num_heads=2, mlp_hidden_dim=64, reg_tokens=4,
+                        attn_impl="xla", remat=False, lora_rank=8)
+    model = MipheiViT(vit_cfg=vit_cfg, out_chans=3)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                           train=False)
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    save_safetensors(mipheivit_state_dict(params, stats, vit_cfg, 3),
+                     str(ckpt_dir / "model.safetensors"))
+
+    tiles = tmp_path / "tiles"
+    tiles.mkdir()
+    rows = {"val": [], "test": []}
+    cells = {"sval": [], "stest": []}
+    label = 1
+    for split, slide in (("val", "sval"), ("test", "stest")):
+        for i in range(4):
+            he = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+            nuc = np.zeros((1, 32, 32), np.int32)
+            for j in range(2):
+                nuc[0, 4 + 12 * j:14 + 12 * j, 4:30] = label
+                cells[slide].append({"label": label,
+                                     "CD31_pos": label % 2 == 0,
+                                     "CD3e_pos": label % 3 == 0})
+                label += 1
+            img = str(tiles / f"{split}{i}.png")
+            cv2.imwrite(img, cv2.cvtColor(he, cv2.COLOR_RGB2BGR))
+            nucp = str(tiles / f"{split}{i}_nuc.tiff")
+            write_pyramid(nucp, nuc, n_levels=1, tile_size=32)
+            rows[split].append({"image_path": img, "nuclei_path": nucp,
+                                "in_slide_name": slide})
+    for split in ("val", "test"):
+        pd.DataFrame(rows[split]).to_csv(tmp_path / f"{split}.csv", index=False)
+    slide_rows = []
+    for slide in ("sval", "stest"):
+        path = tmp_path / f"{slide}_cells.csv"
+        pd.DataFrame(cells[slide]).to_csv(path, index=False)
+        slide_rows.append({"in_slide_name": slide,
+                           "nuclei_csv_path": str(path)})
+    pd.DataFrame(slide_rows).to_csv(tmp_path / "slides.csv", index=False)
+
+    stats_json = {"RGB": {"mean": [180.0] * 3, "std": [40.0] * 3}}
+    for i, name in enumerate(markers):
+        stats_json[name] = {"idx_channel": i, "std": 10.0, "min": 0,
+                            "is_structural": False}
+    (tmp_path / "channel_stats.json").write_text(json.dumps(stats_json))
+
+    cfg = compose(["+default_configs=miphei-vit"])
+    cfg.data.slide_dataframe_path = str(tmp_path / "slides.csv")
+    cfg.data.train_dataframe_path = str(tmp_path / "val.csv")
+    cfg.data.val_dataframe_path = str(tmp_path / "val.csv")
+    cfg.data.test_dataframe_path = str(tmp_path / "test.csv")
+    cfg.data.channel_stats_path = str(tmp_path / "channel_stats.json")
+    cfg.data.targ_channel_names = markers
+    cfg.train.batch_size = 2
+    save_config(cfg, ckpt_dir / "config.yaml")
+
+    import mipheivit_tpu.infer.loading as loading
+
+    monkeypatch.setattr(
+        loading, "build_generator",
+        lambda cfg, img_size, nc_out, dtype="float32":
+        MipheiViT(vit_cfg=vit_cfg, out_chans=nc_out))
+    return str(ckpt_dir), tmp_path
+
+
+def test_eval_orion_end_to_end(eval_setup, monkeypatch):
+    ckpt_dir, tmp_path = eval_setup
+    import eval_orion
+
+    monkeypatch.setattr(sys, "argv",
+                        ["eval_orion.py", "--checkpoint_dir", ckpt_dir,
+                         "--dataset_config_path", "/nonexistent.yaml",
+                         "--batch_size", "2"])
+    eval_orion.main()
+    out = Path(ckpt_dir)
+    results = pd.read_csv(out / "results_logreg.csv")
+    assert set(results["Marker"]) == {"CD31_pos", "CD3e_pos"}
+    assert np.isfinite(results["ROC AUC"]).all()
+    assert (out / "cell_dataframe.csv").exists()
+    assert (out / "logreg.npz").exists()
+
+
+def test_eval_immucan_end_to_end(eval_setup, monkeypatch):
+    ckpt_dir, tmp_path = eval_setup
+    import eval_immucan
+    import eval_orion
+
+    # immucan needs the logreg from eval_orion first
+    monkeypatch.setattr(sys, "argv",
+                        ["eval_orion.py", "--checkpoint_dir", ckpt_dir,
+                         "--dataset_config_path", "/nonexistent.yaml",
+                         "--batch_size", "2"])
+    eval_orion.main()
+
+    # immucan tile dataframe: counts columns per marker
+    test_df = pd.read_csv(Path(tmp_path) / "test.csv")
+    test_df["CD3e_count"] = np.arange(len(test_df))
+    test_df["CD31_count"] = np.arange(len(test_df))[::-1]
+    imm_csv = Path(tmp_path) / "immucan.csv"
+    test_df.to_csv(imm_csv, index=False)
+    from mipheivit_tpu.config import load_yaml, save_config as _save
+
+    cfg = load_yaml(Path(ckpt_dir) / "config.yaml")
+    cfg.data.test_dataframe_path = str(imm_csv)
+    _save(cfg, Path(ckpt_dir) / "config.yaml")
+
+    monkeypatch.setattr(sys, "argv",
+                        ["eval_immucan.py", "--checkpoint_dir", ckpt_dir,
+                         "--dataset_config_path", "/nonexistent.yaml",
+                         "--batch_size", "2"])
+    eval_immucan.main()
+    assert (Path(ckpt_dir) / "immucan_corr.csv").exists()
+    assert (Path(ckpt_dir) / "immucan_tile_sums.csv").exists()
+    corr = pd.read_csv(Path(ckpt_dir) / "immucan_corr.csv")
+    assert "CD3e" in set(corr["Marker"])

@@ -1,0 +1,191 @@
+"""Preprocessing pipeline tests (tiling, wsi2tiles, stats, cleaning,
+nuclei segmentation, expression matrix, gating)."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO / "preprocessings"))
+sys.path.insert(0, str(REPO / "preprocessings" / "nuclei_segmentation"))
+sys.path.insert(0, str(REPO / "preprocessings" / "single_cell_analysis"))
+
+from mipheivit_tpu.slideio import SlideReader, TiffSlide, write_pyramid
+
+
+@pytest.fixture
+def wsi_pair(tmp_path, rng):
+    """Synthetic H&E + mIF + nuclei WSIs with known structure."""
+    h = w = 256
+    he = np.full((3, h, w), 240, np.uint8)
+    # "tissue": stained (channel-wise different so the Otsu std-mask fires)
+    he[0, 64:192, 64:192] = 180
+    he[1, 64:192, 64:192] = 90
+    he[2, 64:192, 64:192] = 160
+    mif = rng.integers(0, 50, (4, h, w), dtype=np.uint8)
+    nuclei = np.zeros((1, h, w), np.int32)
+    for i, (cy, cx) in enumerate([(80, 80), (80, 160), (160, 80), (160, 160)]):
+        nuclei[0, cy - 8:cy + 8, cx - 8:cx + 8] = i + 1
+        mif[1, cy - 8:cy + 8, cx - 8:cx + 8] = 200   # CD31 bright on cells
+    paths = {}
+    for name, arr in (("he", he), ("mif", mif), ("nuclei", nuclei)):
+        path = tmp_path / f"{name}.tiff"
+        write_pyramid(str(path), arr, n_levels=2, tile_size=64, mpp=0.5)
+        paths[name] = str(path)
+    return paths, tmp_path
+
+
+def test_tiling_script(wsi_pair):
+    import tiling
+
+    df = tiling.tile_slide(wsi_pair[0]["he"], tile_size=64, mask_thresh=0.05)
+    assert len(df) >= 4
+    assert {"in_slide_name", "x", "y", "level", "tile_size_x"}.issubset(df.columns)
+
+
+def test_wsi2tiles_and_stats(wsi_pair):
+    import wsi2tiles
+    from get_mean_std_channels import compute_channel_stats
+
+    paths, tmp = wsi_pair
+    slide_row = {"in_slide_name": "s0", "in_slide_path": paths["he"],
+                 "targ_slide_path": paths["mif"],
+                 "nuclei_slide_path": paths["nuclei"]}
+    tile_df = pd.DataFrame([
+        {"in_slide_name": "s0", "x": x, "y": y, "level": 0,
+         "tile_size_x": 64, "tile_size_y": 64}
+        for x in (64, 128) for y in (64, 128)])
+    out = wsi2tiles.export_tiles(slide_row, tile_df, tmp / "tiles",
+                                 num_workers=2)
+    assert len(out) == 4
+    assert Path(out.iloc[0]["image_path"]).exists()
+    ts = TiffSlide(out.iloc[0]["target_path"])
+    assert ts.n_channels == 4
+    ts.close()
+
+    stats = compute_channel_stats(out, ["A", "B", "C", "D"])
+    assert set(stats) == {"RGB", "A", "B", "C", "D"}
+    assert stats["B"]["std"] > 0
+    assert stats["A"]["idx_channel"] == 0
+
+
+def test_mif_cleaning(wsi_pair, tmp_path):
+    from mif_cleaning.mif_cleaning import (
+        af_subtract, apply_cleaning_wsi, extract_histograms,
+        find_percentile_bin)
+
+    paths, _ = wsi_pair
+    reader = SlideReader(paths["mif"], mode="IF")
+    settings = {"1": {"lambda": 0.5, "bias": 2.0}}
+    hists, edges = extract_histograms(reader, settings, af_channel=0,
+                                      tile_size=128, mask_thresh=-1)
+    assert hists.shape[0] == 4 and hists.sum() > 0
+    p99 = np.array([find_percentile_bin(hists[c], edges) for c in range(4)])
+    assert (p99 > 0).all()
+    out_path = str(tmp_path / "clean.ome.tiff")
+    apply_cleaning_wsi(reader, settings, 0, p99, out_path,
+                       ["AF", "CD31", "x", "y"], tile_size=128)
+    ts = TiffSlide(out_path)
+    assert ts.n_channels == 4 and ts.dtype == np.uint8
+    ts.close()
+    # math parity: subtraction formula
+    tile = np.full((4, 4), 100.0)
+    af = np.full((4, 4), 60.0)
+    np.testing.assert_allclose(af_subtract(tile, af, 0.5, 2.0), 72.0)
+
+
+def test_nuclei_segmentation_wsi(wsi_pair):
+    from backends import classical_segment, expand_labels, find_boundaries
+    from wsi_nuclei_inference import segment_wsi
+
+    paths, _ = wsi_pair
+    # DAPI-like channel: nuclei bright
+    reader = SlideReader(paths["mif"], channel_idxs=[1], mode="IF")
+    labels = segment_wsi(reader, classical_segment, tile_size=128, halo=32,
+                         dapi_channel=0, expansion_px=2.0)
+    reader.close()
+    n = labels.max()
+    assert 2 <= n <= 10          # ~4 nuclei, tolerant to splits
+    # sequential ids
+    assert set(np.unique(labels)) == set(range(0, n + 1))
+    b = find_boundaries(labels)
+    assert b.max() == 1 and (b[labels == 0] == 0).all()
+
+
+def test_expand_labels_nearest():
+    from backends import expand_labels
+
+    labels = np.zeros((20, 20), np.int32)
+    labels[5, 5] = 3
+    labels[15, 15] = 7
+    out = expand_labels(labels, 2.0)
+    assert out[5, 7] == 3 and out[7, 5] == 3
+    assert out[15, 13] == 7
+    assert out[10, 10] == 0          # beyond distance
+    assert out[5, 5] == 3            # originals intact
+
+
+def test_expression_matrix_and_gating(wsi_pair):
+    from extract_expression_matrix import extract_expression_matrix
+    from gmm_gating import gate_dataframe
+
+    paths, _ = wsi_pair
+    df = extract_expression_matrix(paths["mif"], paths["nuclei"],
+                                   tile_size=128)
+    assert len(df) == 4
+    assert (df["area"] == 256).all()
+    # CD31 (idx 1) is bright (200) on every nucleus
+    assert (df["mean_intensity-1"] > 150).all()
+    # centroids land on the seeded squares
+    cents = set(zip(df["centroid-0"].round().astype(int),
+                    df["centroid-1"].round().astype(int)))
+    assert (80, 80) in {(a + 0, b + 0) for a, b in cents} or \
+        any(abs(a - 80) <= 1 and abs(b - 80) <= 1 for a, b in cents)
+
+    # gating: fabricate a bimodal marker distribution
+    big = pd.concat([df] * 20, ignore_index=True)
+    big["mean_intensity-1"] = np.r_[
+        np.random.default_rng(0).normal(20, 2, len(big) - 10),
+        np.random.default_rng(0).normal(220, 5, 10)]
+    gated = gate_dataframe(big, ["AF", "CD31", "c", "d"])
+    assert gated["CD31_pos"].sum() == 10
+
+
+def test_split_and_ckpt_scripts(tmp_path):
+    df = pd.DataFrame({
+        "in_slide_name": [f"s{i % 4}" for i in range(20)],
+        "x": range(20),
+    })
+    csv = tmp_path / "tiles.csv"
+    df.to_csv(csv, index=False)
+    result = subprocess.run(
+        [sys.executable, str(REPO / "scripts/train_val_test_split.py"),
+         "--tile_dataframe", str(csv), "--out_dir", str(tmp_path / "split"),
+         "--val_slides", "s0", "--test_slides", "s1"],
+        capture_output=True, text=True)
+    assert result.returncode == 0, result.stderr
+    train = pd.read_csv(tmp_path / "split/train_dataframe.csv")
+    val = pd.read_csv(tmp_path / "split/val_dataframe.csv")
+    assert set(val["in_slide_name"]) == {"s0"}
+    assert "s0" not in set(train["in_slide_name"])
+
+
+def test_strip_foundation_script():
+    from importlib import import_module
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    mod = import_module("ckpt_remove_foundation_model")
+    state = {
+        "encoder.vit.blocks.0.attn.qkv.qkv.weight": np.zeros(2),
+        "encoder.vit.blocks.0.attn.qkv.lora_q.A": np.zeros(2),
+        "decoder.convstream.convs.0.conv.weight": np.zeros(2),
+    }
+    out = mod.strip_foundation(state)
+    assert "encoder.vit.blocks.0.attn.qkv.qkv.weight" not in out
+    assert "encoder.vit.blocks.0.attn.qkv.lora_q.A" in out
+    assert "decoder.convstream.convs.0.conv.weight" in out
