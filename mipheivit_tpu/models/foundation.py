@@ -25,6 +25,7 @@ class EncoderSpec:
     family: str                     # "vit" | "swin" | "resnet"
     vit_cfg: Optional[ViTConfig] = None
     hf_repo: Optional[str] = None   # provenance only; no net access assumed
+    swin_cfg: Optional[object] = None
 
 
 def _vit(img_size: Tuple[int, int], **kw) -> ViTConfig:
@@ -84,7 +85,15 @@ def get_encoder_spec(name: str, img_size) -> EncoderSpec:
         ), "MountSinaiCompPath/SP85M")
 
     if name == "ctranspath":
-        return EncoderSpec(name, "swin", None, "jamesdolezal/CTransPath")
+        # timm swin_tiny_patch4_window7 with a conv stem
+        # (reference: foundation_models.py:161-184, 321-367)
+        from .swin import SwinConfig
+
+        return EncoderSpec(name, "swin", None, "jamesdolezal/CTransPath",
+                           swin_cfg=SwinConfig(
+                               img_size=img_size, patch_size=4, embed_dim=96,
+                               depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
+                               window_size=7, conv_stem=True))
 
     if name == "restnet50_lunit_swav":
         return EncoderSpec(name, "resnet", None, "1aurent/resnet50.lunit_swav")

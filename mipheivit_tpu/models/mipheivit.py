@@ -27,7 +27,7 @@ import numpy as np
 import flax.linen as nn
 
 from .vit import ViTConfig, VisionTransformer
-from ..ops.resize import resize_bicubic, upsample2x_bilinear
+from ..ops.resize import resize_bicubic, upsample2x_bilinear_nhwc
 
 # pix2pix-style init used across the reference decoder
 # (reference: src/generators/unet.py:522-531)
@@ -79,7 +79,7 @@ class FusionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, detail, train: bool = False):
-        up = upsample2x_bilinear(x.transpose(0, 3, 1, 2)).transpose(0, 2, 3, 1)
+        up = upsample2x_bilinear_nhwc(x)
         out = jnp.concatenate([detail, up], axis=-1)
         return BasicConv3x3(self.out_chans, stride=1, name="conv")(out, train)
 

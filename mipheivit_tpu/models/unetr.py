@@ -13,6 +13,7 @@ NHWC; intermediates come out of the scanned ViT via per-layer taps.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -219,6 +220,40 @@ class UnetrViT(nn.Module):
         return jnp.concatenate(outs, axis=-1).astype(jnp.float32)
 
 
+class UnetrSwin(nn.Module):
+    """UNETR with a Swin encoder (ctranspath). Per-stage single-deconv
+    upsamplers (reference: unet.py:238-285 ``SwinViTFeatureUpsampler``)."""
+
+    swin_cfg: object
+    out_chans: int = 16
+    decoder_out_channels: int = 32
+    drop_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .swin import SwinTransformer
+
+        _, feats = SwinTransformer(self.swin_cfg, name="model")(x)
+        dims = [self.swin_cfg.stage_dim(i) for i in range(4)]
+        bottleneck = 312 if dims[-1] < 512 else 512
+
+        stem = Conv2DBlock(32, 3, self.drop_rate, name="convsteam_0")(x, train)
+        stem = Conv2DBlock(64, 3, self.drop_rate, name="convsteam_1")(stem, train)
+        f0 = Deconv2DBlock(128, 3, self.drop_rate, name="upsampler0_0")(feats[0], train)
+        f1 = Deconv2DBlock(256, 3, self.drop_rate, name="upsampler1_0")(feats[1], train)
+        f2 = Deconv2DBlock(bottleneck, 3, self.drop_rate, name="upsampler2_0")(feats[2], train)
+        f3 = Deconv2DBlock(dims[3], 3, self.drop_rate, name="upsampler3_0")(feats[3], train)
+        out_channels = (64, 128, 256, bottleneck, dims[3])
+        h = CellViTDecoder(out_channels, self.decoder_out_channels,
+                           self.drop_rate, name="decoder")(
+            [stem, f0, f1, f2, f3], train)
+        outs = [
+            SegmentationHead(True, "tanh", name=f"segmentation_head_{k}")(h, train)
+            for k in range(self.out_chans)
+        ]
+        return jnp.concatenate(outs, axis=-1).astype(jnp.float32)
+
+
 def build_unetr(model_name: str, img_size, nc_in: int, nc_out: int, cfg,
                 dtype: str = "float32"):
     encoder_name = "hoptimus0"
@@ -236,5 +271,10 @@ def build_unetr(model_name: str, img_size, nc_in: int, nc_out: int, cfg,
         from .cnn import UnetResnet50
 
         return UnetResnet50(out_chans=nc_out, drop_rate=drop, dtype=dtype)
+    if spec.family == "swin":
+        use_lora = "lora" in model_name
+        swin_cfg = dataclasses.replace(
+            spec.swin_cfg, lora_rank=8 if use_lora else 0, dtype=dtype)
+        return UnetrSwin(swin_cfg=swin_cfg, out_chans=nc_out, drop_rate=drop)
     raise NotImplementedError(
         f"unetr encoder family {spec.family!r} ({encoder_name}) not yet built")

@@ -3,6 +3,7 @@ from .resize import (
     resize_bilinear,
     resize_nearest,
     upsample2x_bilinear,
+    upsample2x_bilinear_nhwc,
     resize_matrix,
 )
 from .attention import dot_product_attention

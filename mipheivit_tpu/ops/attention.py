@@ -200,9 +200,14 @@ def dot_product_attention(
     (flash on TPU, xla elsewhere). Numerics match plain softmax attention to
     f32 accumulation tolerance for any S.
     """
-    if impl == "auto":
-        impl = "flash" if jax.default_backend() == "tpu" else "xla"
     seq_len = q.shape[-2]
+    if impl == "auto":
+        # Measured on v5e: XLA's fused attention wins at ViT-scale sequence
+        # lengths (the [B,H,S,S] intermediate still fits VMEM-friendly
+        # fusions); the Pallas flash kernel wins once S is long enough that
+        # materializing probs costs real HBM traffic.
+        impl = ("flash" if jax.default_backend() == "tpu" and seq_len > 1024
+                else "xla")
     if impl == "xla":
         return _attn_reference(q, k, v, seq_len)
     interpret = impl == "flash_interpret" or jax.default_backend() != "tpu"

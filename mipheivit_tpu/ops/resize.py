@@ -141,6 +141,33 @@ def upsample2x_bilinear(x):
     return _resize_hw(x, (x.shape[-2] * 2, x.shape[-1] * 2), "bilinear")
 
 
+def upsample2x_bilinear_nhwc(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact-2x bilinear upsample on NHWC without layout changes.
+
+    torch ``F.interpolate(scale_factor=2, mode="bilinear",
+    align_corners=False)`` parity via the closed-form stencil:
+    ``out[2i] = 0.25 in[i-1] + 0.75 in[i]``,
+    ``out[2i+1] = 0.75 in[i] + 0.25 in[i+1]`` (edges replicated).
+    Pure VPU adds — no transposes, no matmuls; this is the decoder hot path.
+    """
+
+    def up_axis(t, axis):
+        prev = jnp.concatenate(
+            [jax.lax.slice_in_dim(t, 0, 1, axis=axis),
+             jax.lax.slice_in_dim(t, 0, t.shape[axis] - 1, axis=axis)], axis)
+        nxt = jnp.concatenate(
+            [jax.lax.slice_in_dim(t, 1, t.shape[axis], axis=axis),
+             jax.lax.slice_in_dim(t, t.shape[axis] - 1, t.shape[axis],
+                                  axis=axis)], axis)
+        even = 0.25 * prev + 0.75 * t
+        odd = 0.75 * t + 0.25 * nxt
+        inter = jnp.stack([even, odd], axis=axis + 1)
+        new_shape = t.shape[:axis] + (2 * t.shape[axis],) + t.shape[axis + 1:]
+        return inter.reshape(new_shape)
+
+    return up_axis(up_axis(x, 1), 2)
+
+
 def resize_nearest(x, out_hw, exact: bool = False):
     """``F.interpolate(mode="nearest")`` (exact=False, floor(i*scale)) or
     ``"nearest-exact"`` (half-pixel) parity; used for label masks."""

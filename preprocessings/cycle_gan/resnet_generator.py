@@ -61,8 +61,7 @@ class ResnetGenerator(nn.Module):
             h = ResnetBlock(self.ngf * 4, name=f"res{i}")(h)
         for i, mult in enumerate((2, 1)):
             h = nn.ConvTranspose(self.ngf * mult, (3, 3), strides=(2, 2),
-                                 padding=((1, 1), (1, 1)),
-                                 name=f"up{i}")(h)
+                                 padding="SAME", name=f"up{i}")(h)
             h = nn.relu(InstanceNorm()(h))
         h = _rpad(h, 3)
         h = nn.Conv(self.out_channels, (7, 7), padding="VALID", name="head")(h)

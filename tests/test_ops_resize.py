@@ -66,3 +66,14 @@ def test_nearest_matches_torch(rng):
     ref2 = F.interpolate(t, size=(13, 13), mode="nearest-exact").numpy()
     ours2 = np.asarray(resize_nearest(x, (13, 13), exact=True))
     np.testing.assert_array_equal(ours2, ref2)
+
+
+def test_upsample2x_nhwc_matches_torch(rng):
+    from mipheivit_tpu.ops import upsample2x_bilinear_nhwc
+
+    x = rng.standard_normal((2, 9, 7, 5)).astype(np.float32)
+    ours = np.asarray(upsample2x_bilinear_nhwc(x.transpose(0, 3, 1, 2)
+                                               .transpose(0, 2, 3, 1)))
+    ref = _torch_resize(x.transpose(0, 3, 1, 2), (18, 14), "bilinear")
+    np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), ref,
+                               atol=2e-6, rtol=1e-5)
