@@ -32,8 +32,10 @@ from mipheivit_tpu.slideio import (  # noqa: E402
 
 
 def segment_wsi(reader: SlideReader, segment_fn, tile_size: int = 2048,
-                halo: int = 128, dapi_channel: int = 0,
+                halo: int = 128, dapi_channel=0,
                 expansion_px: float = 3.0) -> np.ndarray:
+    """``dapi_channel``: int channel index fed to ``segment_fn``; pass None
+    to hand the full HWC tile over (H&E backends)."""
     w, h = reader.dimensions
     labels = np.zeros((h, w), np.int32)
     next_id = 0
@@ -44,8 +46,10 @@ def segment_wsi(reader: SlideReader, segment_fn, tile_size: int = 2048,
             x1 = min(tx + tile_size + halo, w)
             y1 = min(ty + tile_size + halo, h)
             tile = reader.read_region((x0, y0), 0, (x1 - x0, y1 - y0))
-            dapi = tile[..., dapi_channel]
-            tile_labels = segment_fn(dapi)
+            if dapi_channel is None:
+                tile_labels = segment_fn(tile)
+            else:
+                tile_labels = segment_fn(tile[..., dapi_channel])
 
             # interior ownership: keep instances whose pixels majority-fall
             # inside the halo-free core (reference merge rule :225-249)
