@@ -52,11 +52,17 @@ def load_generator(cfg, checkpoint_dir: str, img_size, nc_out: int,
             encoder_state=encoder_state)
         return model, {"params": params, "batch_stats": batch_stats}
 
-    from ..models.import_weights import generator_state_dict
+    if model_name.startswith("unet") and hasattr(model, "vit_cfg"):
+        from ..models.import_weights import unetr_from_torch
 
-    importer = getattr(model, "import_torch_state", None)
-    if importer is None:
-        raise NotImplementedError(
-            f"checkpoint import not implemented for {model_name!r}")
-    params, batch_stats = importer(generator_state_dict(state))
-    return model, {"params": params, "batch_stats": batch_stats}
+        encoder_state = None
+        enc_path = encoder_ckpt_path or cfg.select("model.encoder.encoder_weights")
+        if enc_path and Path(str(enc_path)).exists():
+            encoder_state = load_state_dict(str(enc_path))
+        params, batch_stats = unetr_from_torch(
+            state, model.vit_cfg, out_chans=nc_out,
+            encoder_state=encoder_state)
+        return model, {"params": params, "batch_stats": batch_stats}
+
+    raise NotImplementedError(
+        f"checkpoint import not implemented for {model_name!r}")

@@ -344,3 +344,119 @@ def validate_load(missing_keys, unexpected_keys) -> None:
             raise ValueError(f"Missing LoRA checkpoint in state_dict: {key}")
         if not any(part in key for part in ("encoder.vit.", "encoder.model.")):
             raise ValueError(f"Missing key in state_dict: {key}")
+
+
+# ---------------------------------------------------------------------------
+# UNETR import (reference: src/generators/unet.py layout)
+
+
+def _convT(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d weight [in, out, kh, kw] -> flax ConvTranspose
+    kernel [kh, kw, in, out]. flax's conv_transpose correlates (no spatial
+    flip) while torch's is the conv gradient, so flip H/W (verified exact
+    for the k2/s2 and k4/s2 cases used here)."""
+    return np.ascontiguousarray(w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
+
+
+def _conv_block(state, base):
+    """reference Conv2DBlock: block.0 conv, block.1 BN."""
+    params = {
+        "conv": {"kernel": _conv(np.asarray(state[f"{base}.block.0.weight"])),
+                 "bias": np.asarray(state[f"{base}.block.0.bias"])},
+        "bn": {"scale": np.asarray(state[f"{base}.block.1.weight"]),
+               "bias": np.asarray(state[f"{base}.block.1.bias"])},
+    }
+    stats = {"bn": {"mean": np.asarray(state[f"{base}.block.1.running_mean"]),
+                    "var": np.asarray(state[f"{base}.block.1.running_var"])}}
+    return params, stats
+
+
+def _deconv_block(state, base):
+    """reference Deconv2DBlock: block.0 ConvT, block.1 conv, block.2 BN."""
+    params = {
+        "deconv": {"kernel": _convT(np.asarray(state[f"{base}.block.0.weight"])),
+                   "bias": np.asarray(state[f"{base}.block.0.bias"])},
+        "conv": {"kernel": _conv(np.asarray(state[f"{base}.block.1.weight"])),
+                 "bias": np.asarray(state[f"{base}.block.1.bias"])},
+        "bn": {"scale": np.asarray(state[f"{base}.block.2.weight"]),
+               "bias": np.asarray(state[f"{base}.block.2.bias"])},
+    }
+    stats = {"bn": {"mean": np.asarray(state[f"{base}.block.2.running_mean"]),
+                    "var": np.asarray(state[f"{base}.block.2.running_var"])}}
+    return params, stats
+
+
+def unetr_from_torch(state, vit_cfg, out_chans: int,
+                     encoder_state=None):
+    """UNETR (ViT pyramid) generator import -> (params, batch_stats).
+
+    Key layout from the reference ``Unet``/``ViTPyramidEncoder``/
+    ``ViTFeatureUpsampler``/``Decoder`` (src/generators/unet.py): the timm
+    ViT under ``encoder.model.``, upsamplers as Sequential indices (slot 0
+    is the parameter-free Upsample/Identity), CellViT decoder stages.
+    """
+    state = generator_state_dict(state)
+    enc_present = any(k.startswith("encoder.model.") and ".lora" not in k
+                      for k in state)
+    if enc_present:
+        vit_state = strip_prefix(state, "encoder.model.")
+    else:
+        if encoder_state is None:
+            raise ValueError("foundation-stripped checkpoint: pass encoder_state")
+        vit_state = dict(encoder_state)
+        for k, v in strip_prefix(state, "encoder.model.").items():
+            vit_state[k] = v
+        if any(".qkv.qkv." in k for k in vit_state):
+            for k in list(vit_state):
+                m = re.match(r"(blocks\.\d+\.attn\.qkv)\.(weight|bias)$", k)
+                if m and f"{m.group(1)}.qkv.{m.group(2)}" not in vit_state:
+                    vit_state[f"{m.group(1)}.qkv.{m.group(2)}"] = vit_state.pop(k)
+
+    params = {"encoder_vit": vit_params_from_torch(vit_state, vit_cfg)}
+    stats = {}
+
+    fu_p, fu_s = {}, {}
+    fu = "encoder.feature_upsampler"
+    for i in range(2):
+        p, s = _conv_block(state, f"{fu}.convsteam.{i}")
+        fu_p[f"convsteam_{i}"], fu_s[f"convsteam_{i}"] = p, s
+    for j, n_deconv in ((0, 3), (1, 2), (2, 1)):
+        for d in range(n_deconv):
+            # Sequential slot 0 is Upsample/Identity -> deconvs start at 1
+            p, s = _deconv_block(state, f"{fu}.upsampler{j}.{d + 1}")
+            fu_p[f"upsampler{j}_{d}"], fu_s[f"upsampler{j}_{d}"] = p, s
+    params["feature_upsampler"] = fu_p
+    stats["feature_upsampler"] = fu_s
+
+    dec_p, dec_s = {}, {}
+    dec_p["bottleneck_upsampler"] = {
+        "kernel": _convT(np.asarray(state["decoder.bottleneck_upsampler.weight"])),
+        "bias": np.asarray(state["decoder.bottleneck_upsampler.bias"])}
+    for stage, n_blocks in (("decoder3", 3), ("decoder2", 2), ("decoder1", 2)):
+        base = f"decoder.{stage}_upsampler"
+        for b in range(n_blocks):
+            p, s = _conv_block(state, f"{base}.{b}")
+            dec_p[f"{stage}_{b}"], dec_s[f"{stage}_{b}"] = p, s
+        dec_p[f"{stage}_up"] = {
+            "kernel": _convT(np.asarray(state[f"{base}.{n_blocks}.weight"])),
+            "bias": np.asarray(state[f"{base}.{n_blocks}.bias"])}
+    for b in range(2):
+        p, s = _conv_block(state, f"decoder.decoder0_header.{b}")
+        dec_p[f"decoder0_{b}"], dec_s[f"decoder0_{b}"] = p, s
+    dec_p["decoder0_out"] = {
+        "kernel": _conv(np.asarray(state["decoder.decoder0_header.2.weight"])),
+        "bias": np.asarray(state["decoder.decoder0_header.2.bias"])}
+    params["decoder"] = dec_p
+    stats["decoder"] = dec_s
+
+    for k in range(out_chans):
+        base = f"segmentation_head_{k}"
+        att = {
+            "psi_conv1": _conv_p(state, f"{base}.0.psi.0"),
+            "psi_conv2": _conv_p(state, f"{base}.0.psi.3"),
+        }
+        bnp, bns = _bn(state, f"{base}.0.psi.1")
+        att["psi_bn"] = bnp
+        params[base] = {"attention": att, "conv": _conv_p(state, f"{base}.1")}
+        stats[base] = {"attention": {"psi_bn": bns}}
+    return params, stats
