@@ -5,6 +5,7 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .sharding import encoder_param_specs, shard_params
 
 __all__ = ["make_mesh", "make_data_mesh", "batch_sharding", "replicated",
-           "shard_batch"]
+           "shard_batch", "encoder_param_specs", "shard_params"]
