@@ -47,6 +47,13 @@ def main():
                              train=False)
     )(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
+    # fused per-marker heads: exact same numerics, one pass over the
+    # feature map instead of 16 head chains (infer/loading.to_fast_heads)
+    from mipheivit_tpu.infer.loading import to_fast_heads
+    import numpy as _np
+
+    model, params = to_fast_heads(
+        model, jax.tree.map(lambda v: v, params))
 
     x = jax.random.normal(jax.random.PRNGKey(1),
                           (batch, cfg_model[1], cfg_model[1], 3))

@@ -25,9 +25,31 @@ def build_generator(cfg, img_size, nc_out, dtype: str = "float32"):
     return get_generator(model_name, img_size, 3, nc_out, cfg, dtype=dtype)
 
 
+def to_fast_heads(model, variables):
+    """Convert a loaded MipheiViT to the fused-heads variant (exact same
+    numerics, one pass over the feature map instead of K head chains)."""
+    from ..models import MipheiViT
+    from ..models.mipheivit import stack_head_params
+
+    nc_out = model.out_chans
+    dec_p = variables["params"]["decoder"]
+    dec_s = variables["batch_stats"]["decoder"]
+    hp, hs = stack_head_params(dec_p, dec_s, nc_out)
+    fd = {k: v for k, v in dec_p.items()
+          if not k.startswith("segmentation_head_")}
+    fs = {k: v for k, v in dec_s.items()
+          if not k.startswith("segmentation_head_")}
+    fd["heads"] = hp
+    fs["heads"] = hs
+    fast = MipheiViT(vit_cfg=model.vit_cfg, out_chans=nc_out, fast_heads=True)
+    return fast, {"params": {**variables["params"], "decoder": fd},
+                  "batch_stats": {**variables["batch_stats"], "decoder": fs}}
+
+
 def load_generator(cfg, checkpoint_dir: str, img_size, nc_out: int,
                    dtype: str = "float32",
-                   encoder_ckpt_path: Optional[str] = None):
+                   encoder_ckpt_path: Optional[str] = None,
+                   fast_heads: bool = False):
     """Returns (model, variables) ready for ``model.apply``."""
     model = build_generator(cfg, img_size, nc_out, dtype=dtype)
     ckpt_dir = Path(checkpoint_dir)
@@ -50,7 +72,10 @@ def load_generator(cfg, checkpoint_dir: str, img_size, nc_out: int,
         params, batch_stats = mipheivit_from_torch(
             state, model.vit_cfg, out_chans=nc_out,
             encoder_state=encoder_state)
-        return model, {"params": params, "batch_stats": batch_stats}
+        variables = {"params": params, "batch_stats": batch_stats}
+        if fast_heads:
+            return to_fast_heads(model, variables)
+        return model, variables
 
     if model_name.startswith("unet") and hasattr(model, "vit_cfg"):
         from ..models.import_weights import unetr_from_torch

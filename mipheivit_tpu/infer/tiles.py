@@ -91,8 +91,9 @@ def inference_model(cfg, checkpoint_dir: str, output_dir: str,
                               spatial_augmentations=spatial)
 
     batch = int(batch_size or cfg.train.batch_size)
-    model, variables = load_generator(cfg, checkpoint_dir, (height, width),
-                                      nc_out, dtype=dtype)
+    model, variables = load_generator(
+        cfg, checkpoint_dir, (height, width), nc_out, dtype=dtype,
+        fast_heads=cfg.model.model_name.startswith("myvitmatte"))
 
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
 

@@ -123,15 +123,115 @@ class SegmentationHead(nn.Module):
         return x
 
 
+class BatchedSegHeads(nn.Module):
+    """All K attention-gated heads in one fused pass.
+
+    Mathematically identical to K independent ``SegmentationHead``s but
+    restructured for the MXU/HBM: the K psi gates become one 1x1 matmul +
+    per-channel BN + one grouped 1x1; the K final 3x3 convs use the
+    decomposition ``y_k(p) = sum_D m(p+D)[D,k] * g_k(p+D)`` where ``m`` is a
+    single [BHW, C] x [C, 9K] matmul and the 9 taps are shifted
+    multiply-adds — one pass over the feature map instead of K.
+
+    Param layout: stacked along a leading K axis, converted from/to the
+    canonical per-head layout by ``stack_head_params`` (checkpoints stay in
+    the reference layout).
+    """
+
+    out_chans: int
+    activation: str = "tanh"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        k = self.out_chans
+        c2 = c // 2
+
+        w1 = self.param("psi_conv1_kernel", conv_init, (k, 1, 1, c, c2))
+        b1 = self.param("psi_conv1_bias", nn.initializers.zeros, (k, c2))
+        g = jnp.einsum("bhwc,kcd->bhwkd", x,
+                       w1[:, 0, 0].astype(x.dtype)) + b1.astype(x.dtype)
+        g = g.reshape(b, h, w, k * c2)
+        g = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, scale_init=bn_scale_init,
+                         name="psi_bn", dtype=x.dtype)(g)
+        g = nn.relu(g).reshape(b, h, w, k, c2)
+        w2 = self.param("psi_conv2_kernel", conv_init, (k, 1, 1, c2, 1))
+        b2 = self.param("psi_conv2_bias", nn.initializers.zeros, (k, 1))
+        gate = nn.sigmoid(
+            jnp.einsum("bhwkd,kd->bhwk", g, w2[:, 0, 0, :, 0].astype(x.dtype))
+            + b2[:, 0].astype(x.dtype))                       # [B,H,W,K]
+
+        wf = self.param("conv_kernel", conv_init, (k, 3, 3, c, 1))
+        bf = self.param("conv_bias", nn.initializers.zeros, (k, 1))
+        # m[..., D, k] = sum_c W_k[D, c] x_c   (one matmul over 9K outputs)
+        wm = wf[:, :, :, :, 0].transpose(3, 1, 2, 0).reshape(c, 9 * k)
+        m = (x.reshape(-1, c) @ wm.astype(x.dtype)).reshape(b, h, w, 9, k)
+        mg = m * gate[..., None, :]                            # [B,H,W,9,K]
+        out = jnp.zeros((b, h, w, k), x.dtype)
+        pad = jnp.pad(mg, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+        for dy in range(3):
+            for dx in range(3):
+                # tap (dy,dx) of the kernel sees input shifted by (dy-1,dx-1)
+                out = out + pad[:, dy:dy + h, dx:dx + w, dy * 3 + dx]
+        out = out + bf[:, 0].astype(x.dtype)
+        if self.activation == "tanh":
+            out = jnp.tanh(out)
+        elif self.activation == "sigmoid":
+            out = nn.sigmoid(out)
+        return out
+
+
+def stack_head_params(decoder_params: dict, decoder_stats: dict,
+                      out_chans: int):
+    """Canonical per-head params -> BatchedSegHeads stacked layout."""
+    import numpy as _np
+
+    heads_p = [decoder_params[f"segmentation_head_{i}"]
+               for i in range(out_chans)]
+    heads_s = [decoder_stats[f"segmentation_head_{i}"]
+               for i in range(out_chans)]
+    params = {
+        "psi_conv1_kernel": _np.stack(
+            [_np.asarray(p["attention"]["psi_conv1"]["kernel"]) for p in heads_p]),
+        "psi_conv1_bias": _np.stack(
+            [_np.asarray(p["attention"]["psi_conv1"]["bias"]) for p in heads_p]),
+        "psi_conv2_kernel": _np.stack(
+            [_np.asarray(p["attention"]["psi_conv2"]["kernel"]) for p in heads_p]),
+        "psi_conv2_bias": _np.stack(
+            [_np.asarray(p["attention"]["psi_conv2"]["bias"]) for p in heads_p]),
+        "conv_kernel": _np.stack(
+            [_np.asarray(p["conv"]["kernel"]) for p in heads_p]),
+        "conv_bias": _np.stack(
+            [_np.asarray(p["conv"]["bias"]) for p in heads_p]),
+        "psi_bn": {
+            "scale": _np.concatenate(
+                [_np.asarray(p["attention"]["psi_bn"]["scale"]) for p in heads_p]),
+            "bias": _np.concatenate(
+                [_np.asarray(p["attention"]["psi_bn"]["bias"]) for p in heads_p]),
+        },
+    }
+    stats = {"psi_bn": {
+        "mean": _np.concatenate(
+            [_np.asarray(s["attention"]["psi_bn"]["mean"]) for s in heads_s]),
+        "var": _np.concatenate(
+            [_np.asarray(s["attention"]["psi_bn"]["var"]) for s in heads_s]),
+    }}
+    return params, stats
+
+
 class DetailCapture(nn.Module):
     """ConvStream + 4 fusion blocks + per-marker heads
-    (reference: mipheivit.py:166-220)."""
+    (reference: mipheivit.py:166-220). ``fast_heads`` switches the K head
+    chains to the fused ``BatchedSegHeads`` (different param layout;
+    convert with ``stack_head_params``)."""
 
     out_chans: int = 16
     convstream_out: Sequence[int] = (48, 96, 192)
     fusion_out: Sequence[int] = (256, 128, 64, 32)
     use_attention: bool = True
     activation: str = "tanh"
+    fast_heads: bool = False
 
     @nn.compact
     def __call__(self, features, images, train: bool = False):
@@ -142,6 +242,9 @@ class DetailCapture(nn.Module):
             x = FusionBlock(ch, name=f"fusion_blks_{i}")(
                 x, details[n - i - 1], train
             )
+        if self.fast_heads:
+            return BatchedSegHeads(self.out_chans, self.activation,
+                                   name="heads")(x, train)
         heads = [
             SegmentationHead(
                 self.use_attention, self.activation,
@@ -182,11 +285,13 @@ class MipheiViT(nn.Module):
 
     vit_cfg: ViTConfig
     out_chans: int = 16
+    fast_heads: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = Encoder(self.vit_cfg, name="encoder")(x)
-        out = DetailCapture(self.out_chans, name="decoder")(
+        out = DetailCapture(self.out_chans, fast_heads=self.fast_heads,
+                            name="decoder")(
             feats, x.astype(feats.dtype), train
         )
         return out.astype(jnp.float32)

@@ -153,3 +153,29 @@ def test_init_shapes_scanned():
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
     assert params["blocks"]["attn"]["qkv"]["kernel"].shape == (3, 32, 96)
     assert params["pos_embed"].shape == (1, 64, 32)
+
+
+def test_fast_heads_match_per_head(rng):
+    """BatchedSegHeads must reproduce the 16 per-head chains exactly."""
+    from mipheivit_tpu.models.mipheivit import stack_head_params
+
+    cfg = _tiny_cfg()
+    slow = MipheiViT(vit_cfg=cfg, out_chans=5)
+    x = jnp.array(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    variables = slow.init(jax.random.PRNGKey(3), x, train=False)
+    ref = np.asarray(slow.apply(variables, x, train=False))
+
+    fast = MipheiViT(vit_cfg=cfg, out_chans=5, fast_heads=True)
+    hp, hs = stack_head_params(variables["params"]["decoder"],
+                               variables["batch_stats"]["decoder"], 5)
+    fparams = {k: v for k, v in variables["params"]["decoder"].items()
+               if not k.startswith("segmentation_head_")}
+    fstats = {k: v for k, v in variables["batch_stats"]["decoder"].items()
+              if not k.startswith("segmentation_head_")}
+    fparams["heads"] = hp
+    fstats["heads"] = hs
+    out = np.asarray(fast.apply(
+        {"params": {**variables["params"], "decoder": fparams},
+         "batch_stats": {**variables["batch_stats"], "decoder": fstats}},
+        x, train=False))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
