@@ -82,7 +82,8 @@ def swap_augmentation_replicas(dataframe, augmentation_dir: str, prob: float,
 
 def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
                    max_steps_per_epoch: Optional[int] = None,
-                   use_wandb: bool = True) -> Dict:
+                   use_wandb: bool = True,
+                   resume: bool = False) -> Dict:
     import jax
     import jax.numpy as jnp
 
@@ -197,6 +198,19 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
         jax.random.PRNGKey(cfg.train.seed), model, gen_opt, disc, disc_opt,
         sample_batch=batch0, gen_variables=gen_variables)
 
+    start_epoch = 0
+    if resume:
+        # mid-training resume from the latest orbax snapshot (new
+        # capability; the reference always restarts — SURVEY.md §5)
+        from .checkpoints import latest_checkpoint, restore_train_state
+
+        ckpt = latest_checkpoint(str(logdir / "orbax"))
+        if ckpt:
+            state = restore_train_state(ckpt, jax.tree.map(np.asarray, state))
+            start_epoch = int(state.step) // max(steps_per_epoch, 1)
+            log.info("resumed from %s at step %d (epoch %d)",
+                     ckpt, int(state.step), start_epoch)
+
     train_step = jax.jit(make_train_step(
         model, loss_reconstruct, gen_opt, disc, disc_opt, step_cfg,
         cell_loss_fn=cell_loss_fn))
@@ -257,8 +271,8 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
             save_safetensors(sd, str(logdir / f"{tag}.safetensors"))
         save_train_state(state, str(logdir / "orbax"), step=int(state.step))
 
-    global_step = 0
-    for epoch in range(cfg.train.epochs):
+    global_step = int(state.step)
+    for epoch in range(start_epoch, cfg.train.epochs):
         if cfg.data.augmentation_dir and not from_slide:
             dm.frames["train"] = swap_augmentation_replicas(
                 train_df, cfg.data.augmentation_dir, 0.25, aug_rng)

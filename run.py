@@ -31,7 +31,20 @@ def write_github_logs(logdir: Path) -> None:
 
 
 def main() -> None:
-    cfg = compose(sys.argv[1:])
+    args = sys.argv[1:]
+    resume_dir = None
+    for arg in list(args):
+        if arg.startswith("--resume="):
+            resume_dir = arg.split("=", 1)[1]
+            args.remove(arg)
+    if resume_dir:
+        from mipheivit_tpu.config import load_yaml
+
+        logdir = Path(resume_dir)
+        cfg = load_yaml(logdir / "config.yaml")
+        train_patchgan(cfg, str(logdir), resume=True)
+        return
+    cfg = compose(args)
     timestamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
     Path("logs").mkdir(exist_ok=True)
     markers = "_".join(map(str, cfg.data.targ_channel_names))

@@ -111,3 +111,24 @@ def test_train_patchgan_end_to_end(synthetic_run):
     assert gan_logs and np.isfinite(gan_logs[-1]["disc_adv_loss"])
     # test epoch ran
     assert any("test_psnr" in l for l in lines)
+
+
+def test_train_resume(synthetic_run):
+    """Mid-training resume from the orbax snapshot (new capability)."""
+    from mipheivit_tpu.train.trainer import train_patchgan
+
+    cfg, tmp_path = synthetic_run
+    cfg.train.epochs = 1
+    cfg.train.gan_train = False
+    cfg.train.use_cell_metrics = False
+    cfg.train.callbacks.modelcheckpoint.monitor = "val_gen_loss_sim"
+    cfg.train.callbacks.modelcheckpoint.mode = "min"
+    logdir = tmp_path / "resume_run"
+    train_patchgan(cfg, str(logdir), dtype="float32", use_wandb=False)
+
+    cfg.train.epochs = 2
+    out = train_patchgan(cfg, str(logdir), dtype="float32", use_wandb=False,
+                         resume=True)
+    # resumed: second run continues from epoch 1, ends at step >= 3
+    import jax
+    assert int(out["state"].step) >= 3
