@@ -50,7 +50,6 @@ def main():
     # fused per-marker heads: exact same numerics, one pass over the
     # feature map instead of 16 head chains (infer/loading.to_fast_heads)
     from mipheivit_tpu.infer.loading import to_fast_heads
-    import numpy as _np
 
     model, params = to_fast_heads(
         model, jax.tree.map(lambda v: v, params))

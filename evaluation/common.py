@@ -16,7 +16,6 @@ from mipheivit_tpu.data.dataset import TileImg2ImgDataset  # noqa: E402
 from mipheivit_tpu.data.pipeline import Loader, device_prefetch  # noqa: E402
 from mipheivit_tpu.data.stats import (                # noqa: E402
     Normalizer,
-    get_effective_width_height,
     get_input_mean_std,
     load_channel_stats,
 )
@@ -58,9 +57,6 @@ def run_cell_accumulation(cfg, fwd, dataframe, slide_dataframe,
     bilinearly re-upsamples predictions (eval_hemit 20x trick — reference:
     evaluation/eval_hemit.py:157-166, 216-219).
     """
-    import jax
-    import jax.numpy as jnp
-
     from mipheivit_tpu.ops.resize import resize_bilinear
 
     channel_stats = load_channel_stats(cfg.data.channel_stats_path)

@@ -19,7 +19,7 @@ workers; randomness is an explicit ``np.random.Generator``.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import cv2
 import numpy as np

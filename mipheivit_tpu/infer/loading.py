@@ -9,11 +9,9 @@ semantics, foundation encoder possibly stripped), fall back to the Lightning
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Optional
 
-import numpy as np
-
-from ..models import get_generator, get_encoder_spec
+from ..models import get_generator
 from ..models.import_weights import (
     load_state_dict,
     mipheivit_from_torch,

@@ -15,7 +15,7 @@ ever sees fixed-shape batches (one compilation).
 from __future__ import annotations
 
 import logging
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

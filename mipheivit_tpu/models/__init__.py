@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
-
 from .vit import ViTConfig, VisionTransformer
 from .mipheivit import MipheiViT, check_input_size
 from .foundation import get_encoder_spec, FOUNDATION_MODEL_NAMES

@@ -10,12 +10,10 @@ timm-layout-compatible so local checkpoints import; no hub download.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn
-
-from .mipheivit import conv_init, bn_scale_init
 
 
 class _BN(nn.Module):

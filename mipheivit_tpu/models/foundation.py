@@ -14,7 +14,7 @@ here with ``family`` markers and implemented in their model files.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 from .vit import ViTConfig
 

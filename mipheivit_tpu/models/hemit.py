@@ -12,8 +12,7 @@ whole thing jits with static shapes (k is clamped to H*W).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import jax

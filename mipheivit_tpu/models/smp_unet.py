@@ -15,7 +15,7 @@ smp's TimmUniversalEncoder pads missing strides with identity features.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -20,7 +20,6 @@ TPU-first design decisions:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -16,8 +16,6 @@ everywhere; inputs may be bf16.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -21,7 +21,7 @@ gather-based resampling and exactly reproducible.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax

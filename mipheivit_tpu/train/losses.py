@@ -6,7 +6,7 @@ last axis. The reference's channel dim is 1 (NCHW); semantics preserved.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ foundation encoder except adapters — src/generators/lora.py:66-83) are a
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ minimizes BCE(D(fake), 0) (reference: src/models.py:109,158-165).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

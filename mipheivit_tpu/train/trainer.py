@@ -14,7 +14,6 @@ batches; the NaN guard dumps ``weights_nan.safetensors`` and raises
 
 from __future__ import annotations
 
-import json
 import logging
 from pathlib import Path
 from typing import Dict, Optional
@@ -36,7 +35,7 @@ from ..metrics import PixelMetrics
 from ..metrics.cell import CellMetrics
 from ..models import get_generator
 from ..models.discriminator import DiscriminatorPatch
-from ..parallel import make_data_mesh, replicated, shard_batch
+from ..parallel import make_data_mesh, replicated
 from ..utils import MetricsLogger, save_image_grid
 from .cell_loss import build_cell_loss
 from .checkpoints import mipheivit_state_dict, save_safetensors, save_train_state

@@ -7,8 +7,6 @@ truth columns the CellMetrics merge consumes (src/metrics.py:157-186).
 """
 
 import argparse
-import sys
-from pathlib import Path
 
 import numpy as np
 import pandas as pd

@@ -28,7 +28,7 @@ def test_xla_matches_torch_sdpa(rng):
     np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("s", [128, 329])
+@pytest.mark.parametrize("s", [128, 329, 640])
 def test_flash_matches_reference(rng, s):
     # On CPU the pallas kernel runs in interpret mode (slow but exact-path).
     q, k, v = _mk(rng, b=1, h=2, s=s)
