@@ -1,0 +1,104 @@
+"""ORION evaluation of HEMIT-codebase checkpoints.
+
+Reference: evaluation/eval_orion_hemit_pipeline.py — same cell-level
+pipeline as eval_orion, but the generator is a dual-branch
+ResnetGeneratorSwinT loaded from a pix2pix-style checkpoint
+(``latest_net_G.pth``), with the timm-Swin key surgery (old-timm downsample
+shift, rel-pos/patch-embed resample) applied on import.
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from common import (  # noqa: E402
+    load_eval_config,
+    results_dataframe,
+    run_cell_accumulation,
+    train_xgboost_or_none,
+)
+from mipheivit_tpu.data.stats import get_effective_width_height  # noqa: E402
+from mipheivit_tpu.models.hemit import build_hemit  # noqa: E402
+from mipheivit_tpu.models.import_hemit import hemit_swint_from_torch  # noqa: E402
+from mipheivit_tpu.models.import_weights import load_state_dict  # noqa: E402
+from mipheivit_tpu.slideio import read_image  # noqa: E402
+
+DATASET_CONFIG_PATH = str(Path(__file__).parent.parent
+                          / "mipheivit_tpu/configs/data/orion.yaml")
+
+
+def build_hemit_forward(checkpoint_dir: str, width: int, nc_out: int,
+                        old_timm_layout: bool = True):
+    import jax
+
+    dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
+    model = build_hemit(width, 3, nc_out, dtype=dtype)
+    ckpt = None
+    for name in ("latest_net_G.pth", "model.pth", "net_G.pth"):
+        cand = Path(checkpoint_dir) / name
+        if cand.exists():
+            ckpt = str(cand)
+            break
+    if ckpt is None:
+        raise FileNotFoundError(
+            f"no HEMIT generator checkpoint in {checkpoint_dir}")
+    params, stats = hemit_swint_from_torch(
+        load_state_dict(ckpt), model, old_timm_layout=old_timm_layout)
+    variables = {"params": params, "batch_stats": stats}
+    return jax.jit(lambda x: model.apply(variables, x, train=False))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint_dir", type=str, required=True)
+    parser.add_argument("--dataset_config_path", default=DATASET_CONFIG_PATH)
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--new_timm_layout", action="store_true",
+                        help="skip the old-timm downsample key shift")
+    args = parser.parse_args()
+
+    cfg = load_eval_config(args.checkpoint_dir, args.dataset_config_path)
+    slide_df = pd.read_csv(cfg.data.slide_dataframe_path)
+    val_df = pd.read_csv(cfg.data.val_dataframe_path)
+    test_df = pd.read_csv(cfg.data.test_dataframe_path)
+    dataframe = pd.concat((val_df, test_df))
+    dataframe["target_path"] = dataframe["image_path"]
+
+    sample = read_image(dataframe["image_path"].iloc[0])
+    width, height = get_effective_width_height(
+        sample.shape[1], sample.shape[0], train=True)
+    nc_out = len(cfg.data.targ_channel_names)
+    fwd = build_hemit_forward(args.checkpoint_dir, width, nc_out,
+                              old_timm_layout=not args.new_timm_layout)
+
+    cell_metrics = run_cell_accumulation(
+        cfg, fwd, dataframe, slide_df, crop=min(256, width),
+        batch_size=args.batch_size)
+    cell_dataframe = cell_metrics.get_dataframe_cell_pred_target()
+    cell_metrics.reset()
+
+    val_slides = list(val_df["in_slide_name"].unique())
+    test_slides = list(test_df["in_slide_name"].unique())
+    val_cells = cell_dataframe[cell_dataframe["slide_name"].isin(val_slides)]
+    test_cells = cell_dataframe[cell_dataframe["slide_name"].isin(test_slides)]
+
+    results, logreg = cell_metrics.train_logistic_regression(
+        val_cells, test_cells, return_metrics=True)
+    out_dir = Path(args.checkpoint_dir)
+    results_dataframe(results).to_csv(out_dir / "results_logreg.csv",
+                                      index=False)
+    cell_dataframe.to_csv(out_dir / "cell_dataframe.csv", index=False)
+    np.savez(out_dir / "logreg.npz", **logreg.state_dict())
+    _, xgb = train_xgboost_or_none(val_cells, test_cells, cell_metrics)
+    if xgb is not None:
+        xgb.to_csv(out_dir / "results_xgboost.csv", index=False)
+    print(results_dataframe(results).to_string(index=False))
+
+
+if __name__ == "__main__":
+    main()

@@ -460,3 +460,128 @@ def unetr_from_torch(state, vit_cfg, out_chans: int,
         params[base] = {"attention": att, "conv": _conv_p(state, f"{base}.1")}
         stats[base] = {"attention": {"psi_bn": bns}}
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# Swin import (timm layout; ctranspath conv stem; HEMIT swinT branch)
+
+
+def adapt_checkpoint_ctranspath(state):
+    """Shift old-timm end-of-stage downsample keys to the stage they feed
+    and drop buffers (reference: foundation_models.py:370-383)."""
+    out = {}
+    for k, v in state.items():
+        if ".downsample.norm" in k or "downsample.reduction" in k:
+            parts = k.split(".")
+            parts[1] = str(int(parts[1]) + 1)
+            k = ".".join(parts)
+        elif "relative_position_index" in k or "attn_mask" in k:
+            continue
+        out[k] = v
+    return out
+
+
+def resize_rel_pos_bias_table(table: np.ndarray, new_window: int) -> np.ndarray:
+    """timm ``resize_rel_pos_bias_table`` role: bicubic-resample the
+    [(2w-1)^2, H] table onto a new window size."""
+    n, heads = table.shape
+    old = int(round(np.sqrt(n)))
+    new = 2 * new_window - 1
+    if old == new:
+        return table
+    grid = table.reshape(old, old, heads).astype(np.float64)
+    mh = resize_matrix(old, new, "bicubic", antialias=True).astype(np.float64)
+    grid = np.einsum("oh,hwd->owd", mh, grid)
+    grid = np.einsum("ow,hwd->hod", mh, grid)
+    return grid.reshape(new * new, heads).astype(table.dtype)
+
+
+def swin_params_from_torch(state, cfg, prefix: str = "") -> Dict:
+    """flax param tree for models.swin.SwinTransformer from timm keys.
+
+    ``cfg``: models.swin.SwinConfig. Handles the ctranspath conv stem
+    (patch_embed.proj.{0,1,3,4,6} Sequential) and plain conv patch embeds;
+    rel-pos tables are resampled if the window differs.
+    Returns (params, batch_stats) — stats only for the conv stem BNs.
+    """
+
+    def get(key):
+        return np.asarray(state[prefix + key])
+
+    def has(key):
+        return (prefix + key) in state
+
+    params: Dict = {}
+    stats: Dict = {}
+    if cfg.conv_stem:
+        pe_p: Dict = {}
+        pe_s: Dict = {}
+        for i, slot in enumerate((0, 3)):
+            pe_p[f"conv{i}"] = {"kernel": _conv(get(f"patch_embed.proj.{slot}.weight"))}
+            pe_p[f"bn{i}"] = {"scale": get(f"patch_embed.proj.{slot + 1}.weight"),
+                              "bias": get(f"patch_embed.proj.{slot + 1}.bias")}
+            pe_s[f"bn{i}"] = {"mean": get(f"patch_embed.proj.{slot + 1}.running_mean"),
+                              "var": get(f"patch_embed.proj.{slot + 1}.running_var")}
+        pe_p["proj"] = {"kernel": _conv(get("patch_embed.proj.6.weight")),
+                        "bias": get("patch_embed.proj.6.bias")}
+        pe_p["norm"] = {"scale": get("patch_embed.norm.weight"),
+                        "bias": get("patch_embed.norm.bias")}
+        params["patch_embed"] = pe_p
+        stats["patch_embed"] = pe_s
+    else:
+        params["patch_embed"] = {"kernel": _conv(get("patch_embed.proj.weight")),
+                                 "bias": get("patch_embed.proj.bias")}
+        params["patch_norm"] = {"scale": get("patch_embed.norm.weight"),
+                                "bias": get("patch_embed.norm.bias")}
+
+    for si, depth in enumerate(cfg.depths):
+        # effective window shrinks when the stage's grid is smaller
+        # (models.swin.SwinBlock uses win = min(window, H, W))
+        grid = min(cfg.img_size) // cfg.patch_size // (2 ** si)
+        eff_window = min(cfg.window_size, grid)
+        if si > 0:
+            params[f"downsample{si}"] = {
+                "norm": {"scale": get(f"layers.{si}.downsample.norm.weight"),
+                         "bias": get(f"layers.{si}.downsample.norm.bias")},
+                "reduction": {"kernel": _t(get(f"layers.{si}.downsample.reduction.weight"))},
+            }
+        for bi in range(depth):
+            base = f"layers.{si}.blocks.{bi}"
+            qkv_base = base + ".attn.qkv"
+            if has(f"{qkv_base}.qkv.weight"):
+                qkv_base = qkv_base + ".qkv"
+            table = get(f"{base}.attn.relative_position_bias_table")
+            table = resize_rel_pos_bias_table(table, eff_window)
+            blk = {
+                "norm1": {"scale": get(f"{base}.norm1.weight"),
+                          "bias": get(f"{base}.norm1.bias")},
+                "attn": {
+                    "qkv": {"kernel": _t(get(f"{qkv_base}.weight")),
+                            "bias": get(f"{qkv_base}.bias")},
+                    "proj": {"kernel": _t(get(f"{base}.attn.proj.weight")),
+                             "bias": get(f"{base}.attn.proj.bias")},
+                    "relative_position_bias_table": table,
+                },
+                "norm2": {"scale": get(f"{base}.norm2.weight"),
+                          "bias": get(f"{base}.norm2.bias")},
+                "mlp_fc1": {"kernel": _t(get(f"{base}.mlp.fc1.weight")),
+                            "bias": get(f"{base}.mlp.fc1.bias")},
+                "mlp_fc2": {"kernel": _t(get(f"{base}.mlp.fc2.weight")),
+                            "bias": get(f"{base}.mlp.fc2.bias")},
+            }
+            if cfg.lora_rank > 0:
+                lora_base = f"{base}.attn.qkv"
+                for lq in ("lora_q", "lora_v"):
+                    if has(f"{lora_base}.{lq}.A"):
+                        blk["attn"][lq] = {"A": get(f"{lora_base}.{lq}.A"),
+                                           "B": get(f"{lora_base}.{lq}.B")}
+                    else:
+                        rng = np.random.default_rng(si * 100 + bi)
+                        dim = cfg.stage_dim(si)
+                        blk["attn"][lq] = {
+                            "A": (rng.standard_normal((dim, cfg.lora_rank))
+                                  / np.sqrt(cfg.lora_rank)).astype(np.float32),
+                            "B": np.zeros((cfg.lora_rank, dim), np.float32)}
+            params[f"layers{si}_blocks{bi}"] = blk
+    params["norm"] = {"scale": get("norm.weight"), "bias": get("norm.bias")}
+    return params, stats

@@ -1,0 +1,93 @@
+"""HEMIT-pipeline checkpoint import roundtrip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mipheivit_tpu.models.hemit import ResnetGeneratorSwinT
+from mipheivit_tpu.models.swin import SwinConfig
+from mipheivit_tpu.models.import_hemit import hemit_swint_from_torch
+
+from test_swin_import import _emit_timm_state, _inv_conv, _inv_t
+
+
+def _inv_convT(k):
+    return np.asarray(k).transpose(2, 3, 0, 1)[:, :, ::-1, ::-1]
+
+
+def _emit_bn(sd, base, p, s):
+    sd[f"{base}.weight"] = np.asarray(p["norm"]["scale"])
+    sd[f"{base}.bias"] = np.asarray(p["norm"]["bias"])
+    sd[f"{base}.running_mean"] = np.asarray(s["norm"]["mean"])
+    sd[f"{base}.running_var"] = np.asarray(s["norm"]["var"])
+
+
+def _emit_conv(sd, base, p):
+    sd[f"{base}.weight"] = _inv_conv(p["kernel"])
+    if "bias" in p:
+        sd[f"{base}.bias"] = np.asarray(p["bias"])
+
+
+def test_hemit_import_roundtrip(rng):
+    swin_cfg = SwinConfig(img_size=(64, 64), patch_size=4, embed_dim=16,
+                          depths=(1, 1, 2, 1), num_heads=(1, 2, 4, 8),
+                          window_size=4)
+    model = ResnetGeneratorSwinT(out_channels=3, ngf=8, n_blocks=2,
+                                 swin_cfg=swin_cfg, top_k=16)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+
+    sd = {}
+    _emit_conv(sd, "initial_layers.1", params["initial_conv"])
+    _emit_bn(sd, "initial_layers.2", params["initial_norm"],
+             stats["initial_norm"])
+    for i in range(3):
+        _emit_conv(sd, f"downsampling_layers.{i}.0", params[f"down{i}_conv"])
+        _emit_bn(sd, f"downsampling_layers.{i}.1", params[f"down{i}_norm"],
+                 stats[f"down{i}_norm"])
+    for i in range(2):
+        base = f"resnet_blocks.{i}.conv_block"
+        _emit_conv(sd, f"{base}.1", params[f"res{i}"]["conv1"])
+        _emit_bn(sd, f"{base}.2", params[f"res{i}"]["n1"],
+                 stats[f"res{i}"]["n1"])
+        _emit_conv(sd, f"{base}.5", params[f"res{i}"]["conv2"])
+        _emit_bn(sd, f"{base}.6", params[f"res{i}"]["n2"],
+                 stats[f"res{i}"]["n2"])
+    swin_sd = _emit_timm_state(params["swinT"], {}, swin_cfg)
+    sd.update({f"swinT.{k}": v for k, v in swin_sd.items()})
+    for i in range(3):
+        base = f"cross_atts.{i}"
+        gca = params[f"cross_att{i}"]
+        _emit_conv(sd, f"{base}.swinT_transform", gca["swinT_transform"])
+        sd[f"{base}.attention.in_proj_weight"] = np.concatenate([
+            _inv_t(gca["attn_q"]["kernel"]),
+            _inv_t(gca["attn_k"]["kernel"]),
+            _inv_t(gca["attn_v"]["kernel"])])
+        sd[f"{base}.attention.in_proj_bias"] = np.concatenate([
+            gca["attn_q"]["bias"], gca["attn_k"]["bias"], gca["attn_v"]["bias"]])
+        sd[f"{base}.attention.out_proj.weight"] = _inv_t(gca["attn_out"]["kernel"])
+        sd[f"{base}.attention.out_proj.bias"] = gca["attn_out"]["bias"]
+        _emit_conv(sd, f"{base}.gate.0", gca["gate"])
+        for j in range(2):
+            sd[f"{base}.upsample_blocks.{j}.0.weight"] = _inv_convT(
+                gca[f"up{j}_deconv"]["kernel"])
+            sd[f"{base}.upsample_blocks.{j}.0.bias"] = gca[f"up{j}_deconv"]["bias"]
+            _emit_conv(sd, f"{base}.upsample_blocks.{j}.2", gca[f"up{j}_conv"])
+    for i in range(3):
+        sd[f"upsampling_layers.{i}.0.weight"] = _inv_convT(
+            params[f"up{i}_deconv"]["kernel"])
+        sd[f"upsampling_layers.{i}.0.bias"] = params[f"up{i}_deconv"]["bias"]
+        _emit_bn(sd, f"upsampling_layers.{i}.1", params[f"up{i}_norm"],
+                 stats[f"up{i}_norm"])
+    _emit_conv(sd, "final_layers.1", params["final_conv"])
+
+    p2, s2 = hemit_swint_from_torch(sd, model)
+    jax.tree.map(np.testing.assert_array_equal, params, p2)
+    jax.tree.map(np.testing.assert_array_equal, stats, s2)
+    out = model.apply({"params": p2, "batch_stats": s2},
+                      jnp.zeros((1, 64, 64, 3)), train=False)
+    assert out.shape == (1, 64, 64, 3)
