@@ -15,10 +15,28 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator
 
 import numpy as np
+
+
+class PipelineStats:
+    """Per-phase timers for the input pipeline (SURVEY.md §5 tracing note:
+    the reference has only tqdm; here decode/wait times are measured so
+    host-boundedness is visible in metrics.jsonl)."""
+
+    def __init__(self):
+        self.decode_s = 0.0
+        self.wait_s = 0.0
+        self.batches = 0
+
+    def snapshot(self) -> Dict[str, float]:
+        n = max(self.batches, 1)
+        return {"input_decode_ms_per_batch": 1000.0 * self.decode_s / n,
+                "input_wait_ms_per_batch": 1000.0 * self.wait_s / n,
+                "input_batches": self.batches}
 
 
 def collate(samples) -> Dict[str, np.ndarray]:
@@ -53,6 +71,7 @@ class Loader:
         self.pad_to_batch = pad_to_batch
         self.shard_index = 0
         self.num_shards = 1
+        self.stats = PipelineStats()
 
     def shard(self, shard_index: int, num_shards: int) -> "Loader":
         self.shard_index = shard_index
@@ -98,9 +117,11 @@ class Loader:
                         break
                     batch_idx = idx[b * self.batch_size:(b + 1) * self.batch_size]
                     seeds = rng.integers(0, 2 ** 31, size=len(batch_idx))
+                    t0 = time.monotonic()
                     futs = [pool.submit(fetch_one, i, s)
                             for i, s in zip(batch_idx, seeds)]
                     batch = collate([f.result() for f in futs])
+                    self.stats.decode_s += time.monotonic() - t0
                     n = len(batch_idx)
                     if self.pad_to_batch and n < self.batch_size:
                         # pad arrays by repeating the last sample; "mask"
@@ -123,11 +144,14 @@ class Loader:
         thread.start()
         try:
             while True:
+                t0 = time.monotonic()
                 item = out_q.get()
+                self.stats.wait_s += time.monotonic() - t0
                 if item is None:
                     break
                 if isinstance(item, BaseException):
                     raise item
+                self.stats.batches += 1
                 yield item
         finally:
             stop.set()

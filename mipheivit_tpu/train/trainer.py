@@ -82,7 +82,11 @@ def swap_augmentation_replicas(dataframe, augmentation_dir: str, prob: float,
 def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
                    max_steps_per_epoch: Optional[int] = None,
                    use_wandb: bool = True,
-                   resume: bool = False) -> Dict:
+                   resume: bool = False,
+                   profile_steps: int = 0) -> Dict:
+    """``profile_steps`` > 0 captures a jax.profiler trace of that many
+    train steps into <logdir>/profile (SURVEY.md §5: the reference has no
+    profiling at all)."""
     import jax
     import jax.numpy as jnp
 
@@ -287,8 +291,14 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
             b = {"image": batch["image"], "target": batch["target"]}
             if step_cfg.use_cell_loss:
                 b["nuclei"] = batch["nuclei"]
+            if profile_steps and global_step == 2:
+                jax.profiler.start_trace(str(logdir / "profile"))
             state, train_metrics, slog = train_step(state, b, train_metrics)
             global_step += 1
+            if profile_steps and global_step == 2 + profile_steps:
+                jax.block_until_ready(slog["gen_loss"])
+                jax.profiler.stop_trace()
+                log.info("profiler trace -> %s", logdir / "profile")
             for k, v in slog.items():
                 if k != "nan":
                     epoch_losses.setdefault(k, []).append(float(v))
@@ -309,6 +319,7 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
                          for k, v in train_metrics.compute().items()}
         epoch_metrics.update(
             {k: float(np.mean(v)) for k, v in epoch_losses.items()})
+        epoch_metrics.update(loader.stats.snapshot())
         epoch_metrics.update(run_eval("val", epoch))
         epoch_metrics["epoch"] = epoch
         logger.log(epoch_metrics, step=global_step)

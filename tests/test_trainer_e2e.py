@@ -132,3 +132,31 @@ def test_train_resume(synthetic_run):
     # resumed: second run continues from epoch 1, ends at step >= 3
     import jax
     assert int(out["state"].step) >= 3
+
+
+def test_test_driver(synthetic_run, monkeypatch):
+    """run_test.py path: eval-only from a finished checkpoint dir."""
+    import json as _json
+
+    from mipheivit_tpu.train.trainer import train_patchgan
+    from mipheivit_tpu.train.test_driver import test_model
+    import mipheivit_tpu.infer.loading as loading
+    from mipheivit_tpu.models import MipheiViT, ViTConfig
+
+    cfg, tmp_path = synthetic_run
+    cfg.train.epochs = 1
+    logdir = tmp_path / "td_run"
+    train_patchgan(cfg, str(logdir), dtype="float32", use_wandb=False)
+    assert (logdir / "model.safetensors").exists()
+
+    tiny = ViTConfig(img_size=(32, 32), patch_size=4, embed_dim=32, depth=2,
+                     num_heads=2, mlp_hidden_dim=64, reg_tokens=4,
+                     attn_impl="xla", remat=False, lora_rank=4)
+    monkeypatch.setattr(
+        loading, "build_generator",
+        lambda cfg, img_size, nc_out, dtype="float32":
+        MipheiViT(vit_cfg=tiny, out_chans=nc_out))
+    results = test_model(cfg, str(logdir), "td_run", dtype="float32")
+    assert np.isfinite(results["test_psnr"])
+    assert np.isfinite(results["val_cell_auc"])
+    assert (logdir / "test_dataframe_cell.csv").exists()
