@@ -15,7 +15,7 @@ ever sees fixed-shape batches (one compilation).
 from __future__ import annotations
 
 import logging
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -23,6 +23,56 @@ from ..slideio import SlideReader, build_ome_xml, get_locs_otsu, write_pyramid
 from ..data.stats import Normalizer
 
 log = logging.getLogger(__name__)
+
+
+class RollingAccumulator:
+    """Bounded-memory overlap accumulator for raster-order tile streams.
+
+    Keeps only the rows that can still receive contributions (one tile
+    height + overlap) in RAM as f32; rows that fall behind the write
+    frontier are finalized to uint8 into ``out`` (an array or np.memmap of
+    shape [C, H, W]) — this is what makes gigapixel slides feasible: the
+    f32 working set is a band, not the slide (SURVEY.md §5 long-context:
+    per-channel streaming to bound RAM)."""
+
+    def __init__(self, out: np.ndarray, tile_size: int, stride: int):
+        self.out = out
+        self.c, self.h, self.w = out.shape
+        self.band_rows = tile_size + stride
+        self.acc = np.zeros((self.c, self.band_rows, self.w), np.float32)
+        self.wsum = np.zeros((self.band_rows, self.w), np.float32)
+        self.base = 0            # slide row corresponding to acc row 0
+
+    def _flush_to(self, new_base: int):
+        """Finalize slide rows [self.base, new_base)."""
+        new_base = min(new_base, self.h)
+        while self.base < new_base:
+            n = min(new_base - self.base, self.band_rows)
+            chunk = self.acc[:, :n] / np.maximum(self.wsum[None, :n], 1e-6)
+            self.out[:, self.base:self.base + n] = chunk.astype(self.out.dtype)
+            if n < self.band_rows:
+                self.acc[:, :-n] = self.acc[:, n:]
+                self.wsum[:-n] = self.wsum[n:]
+            self.acc[:, -n:] = 0.0
+            self.wsum[-n:] = 0.0
+            self.base += n
+
+    def add(self, pred_hwc: np.ndarray, tx: int, ty: int,
+            window: np.ndarray):
+        if ty > self.base + self.band_rows - pred_hwc.shape[0]:
+            self._flush_to(ty - (self.band_rows - pred_hwc.shape[0]))
+        if ty < self.base:
+            raise ValueError("tiles must arrive in raster (y-ascending) order")
+        cw = min(pred_hwc.shape[1], self.w - tx)
+        ch = min(pred_hwc.shape[0], self.h - ty)
+        win = window[:ch, :cw]
+        y0 = ty - self.base
+        self.acc[:, y0:y0 + ch, tx:tx + cw] += \
+            pred_hwc[:ch, :cw].transpose(2, 0, 1) * win
+        self.wsum[y0:y0 + ch, tx:tx + cw] += win
+
+    def finalize(self):
+        self._flush_to(self.h)
 
 
 def _blend_window(tile: int, overlap: int) -> np.ndarray:
@@ -51,7 +101,11 @@ def wsi_inference(
     mask_thresh: float = 0.0,
     mesh=None,
     n_pyramid_levels: int = 4,
+    memmap_path: Optional[str] = None,
 ) -> str:
+    """``memmap_path``: spill the finalized uint8 mosaic to a disk-backed
+    np.memmap instead of RAM (gigapixel slides); the rolling f32
+    accumulator is a band either way."""
     import jax
     import jax.numpy as jnp
 
@@ -71,10 +125,16 @@ def wsi_inference(
         xs = np.arange(0, max(w - overlap, 1), stride)
         ys = np.arange(0, max(h - overlap, 1), stride)
         locs = np.stack(np.meshgrid(xs, ys), -1).reshape(-1, 2)
+    # raster order is required by the rolling accumulator
+    locs = locs[np.lexsort((locs[:, 0], locs[:, 1]))]
     log.info("WSI %s: %dx%d, %d tiles", slide_path, w, h, len(locs))
 
-    acc = np.zeros((n_ch, h, w), np.float32)
-    wsum = np.zeros((h, w), np.float32)
+    if memmap_path:
+        out = np.memmap(memmap_path, dtype=np.uint8, mode="w+",
+                        shape=(n_ch, h, w))
+    else:
+        out = np.zeros((n_ch, h, w), np.uint8)
+    rolling = RollingAccumulator(out, tile_size, stride)
     window = _blend_window(tile_size, overlap)
 
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
@@ -96,12 +156,7 @@ def wsi_inference(
         preds = np.asarray(fwd(variables, xj))[:n]
         preds = np.clip((preds + 0.9) / 1.8, 0.0, 1.0) * 255.0
         for pred, (tx, ty) in zip(preds, coords):
-            cw = min(tile_size, w - tx)
-            chh = min(tile_size, h - ty)
-            win = window[:chh, :cw]
-            acc[:, ty:ty + chh, tx:tx + cw] += \
-                pred[:chh, :cw].transpose(2, 0, 1) * win
-            wsum[ty:ty + chh, tx:tx + cw] += win
+            rolling.add(pred, tx, ty, window)
 
     tiles, coords = [], []
     for (tx, ty) in locs:
@@ -115,7 +170,7 @@ def wsi_inference(
     if tiles:
         run_batch(tiles, coords)
 
-    out = (acc / np.maximum(wsum, 1e-6)[None]).astype(np.uint8)
+    rolling.finalize()
     xml = build_ome_xml(w, h, channel_names, "uint8",
                         physical_size_um=reader.mpp)
     write_pyramid(out_path, out, n_levels=n_pyramid_levels,

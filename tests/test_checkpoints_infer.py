@@ -201,3 +201,31 @@ def test_wsi_inference_stitching(inference_setup, tmp_path):
     # stitched output has no zero seams: every pixel was covered
     assert (full.sum(axis=-1) > 0).mean() > 0.99
     ts.close()
+
+
+def test_wsi_streaming_matches_inram(inference_setup, tmp_path):
+    """RollingAccumulator + memmap output must equal the in-RAM path."""
+    cfg, ckpt_dir, vit_cfg, (model, variables) = inference_setup
+    from mipheivit_tpu.data.stats import Normalizer
+    from mipheivit_tpu.infer import wsi_inference
+
+    rng = np.random.default_rng(9)
+    he = rng.integers(60, 255, (3, 160, 128), dtype=np.uint8)
+    slide_path = str(tmp_path / "wsi2.tiff")
+    write_pyramid(slide_path, he, n_levels=2, tile_size=32)
+    norm = Normalizer({"mean": [180.0] * 3, "std": [40.0] * 3}, "he")
+    kwargs = dict(tile_size=32, overlap=8, batch_size=2, tissue_only=False,
+                  n_pyramid_levels=2)
+    out_a = wsi_inference(model, variables, slide_path,
+                          str(tmp_path / "a.ome.tiff"),
+                          ["CD31", "CD3e", "Ki67"], norm, **kwargs)
+    out_b = wsi_inference(model, variables, slide_path,
+                          str(tmp_path / "b.ome.tiff"),
+                          ["CD31", "CD3e", "Ki67"], norm,
+                          memmap_path=str(tmp_path / "spill.raw"), **kwargs)
+    ta, tb = TiffSlide(out_a), TiffSlide(out_b)
+    a = ta.read_region((0, 0), 0, ta.dimensions)
+    b = tb.read_region((0, 0), 0, tb.dimensions)
+    np.testing.assert_array_equal(a, b)
+    assert (a.sum(axis=-1) > 0).mean() > 0.99
+    ta.close(); tb.close()
