@@ -123,6 +123,64 @@ class TileImg2ImgDataset(_Base):
         return out
 
 
+class SlideDataset(_Base):
+    """Input-only windows straight from an H&E WSI (reference:
+    slidevips-python/slidevips/torch_datasets.py:12-81 ``SlideDataset``,
+    incl. the ``from_one_slide`` constructor for ad-hoc WSI inference)."""
+
+    def __init__(self, slide_dataframe, dataframe,
+                 in_channel_idxs=None, mode_in: str = "RGB",
+                 preprocess_input_fn: Optional[Callable] = None,
+                 spatial_augmentations: Optional[SpatialAugment] = None,
+                 reiter_fetch: bool = False):
+        self.df = dataframe.reset_index(drop=True)
+        self.in_paths = slide_dataframe.set_index(
+            "in_slide_name")["in_slide_path"].to_dict()
+        self.in_channel_idxs = in_channel_idxs
+        self.mode_in = mode_in
+        self.preprocess_input_fn = preprocess_input_fn
+        self.spatial = spatial_augmentations
+        self.reiter_fetch = reiter_fetch
+        self._in: Dict[str, SlideReader] = {}
+
+    @classmethod
+    def from_one_slide(cls, slide_path: str, tile_positions, tile_size: int,
+                       level: int = 0, **kwargs):
+        import pandas as pd
+
+        name = Path(slide_path).stem
+        slide_df = pd.DataFrame([{"in_slide_name": name,
+                                  "in_slide_path": slide_path}])
+        tile_df = pd.DataFrame([
+            {"in_slide_name": name, "x": int(x), "y": int(y), "level": level,
+             "tile_size_x": tile_size, "tile_size_y": tile_size}
+            for x, y in tile_positions])
+        return cls(slide_df, tile_df, **kwargs)
+
+    def reset(self):
+        self._in.clear()
+
+    def __getitem__(self, idx, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng()
+        row = self.df.iloc[idx]
+        name = row["in_slide_name"]
+        location = (int(row["x"]), int(row["y"]))
+        level = int(row["level"])
+        size = (int(row["tile_size_x"]), int(row["tile_size_y"]))
+        reader = self._in.get(name)
+        if reader is None:
+            reader = SlideReader(self.in_paths[name], self.in_channel_idxs,
+                                 self.mode_in, self.reiter_fetch)
+            self._in[name] = reader
+        image = _prep(reader.read_region(location, level, size))
+        if self.spatial:
+            image = self.spatial({"image": image}, rng)["image"]
+        if self.preprocess_input_fn:
+            image = self.preprocess_input_fn(image)
+        return {"image": image, "slide_name": name,
+                "tile_name": "_".join(map(str, [name, *location, level, *size]))}
+
+
 class SlideImg2ImgDataset(_Base):
     """Windows read directly from registered H&E/mIF/nuclei WSIs
     (reference ``Img2ImgNucleiSlideDataset``; tile rows carry

@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 
 from ..data.augment import get_augmentations
-from ..data.dataset import TileDataset, SlideImg2ImgDataset
+from ..data.dataset import TileDataset, SlideDataset
 from ..data.pipeline import Loader, device_prefetch
 from ..data.stats import (
     Normalizer,
@@ -81,11 +81,10 @@ def inference_model(cfg, checkpoint_dir: str, output_dir: str,
 
     if from_slide:
         slide_df = pd.read_csv(cfg.data.slide_dataframe_path)
-        dataset = SlideImg2ImgDataset(
+        # input-only slide reads (reference: SlideDataset, inference.py:119-120)
+        dataset = SlideDataset(
             slide_df, test_df, preprocess_input_fn=he_norm,
-            spatial_augmentations=spatial,
-            targ_channel_idxs=channel_stats.channel_idxs(
-                cfg.data.targ_channel_names))
+            spatial_augmentations=spatial)
     else:
         dataset = TileDataset(test_df, preprocess_input_fn=he_norm,
                               spatial_augmentations=spatial)

@@ -213,6 +213,18 @@ bool read_from_ifd(Slide *s, uint64_t ifd_offset, bool interleaved,
   TIFFGetField(t, TIFFTAG_SAMPLESPERPIXEL, &spp);
   uint16_t planar = PLANARCONFIG_CONTIG;
   TIFFGetField(t, TIFFTAG_PLANARCONFIG, &planar);
+  if (planar == PLANARCONFIG_SEPARATE && spp > 1) {
+    // planar-separate multi-sample pages are not handled (rare; OME-TIFF
+    // uses per-channel pages instead) — fail loudly rather than garble
+    return false;
+  }
+  uint16_t compression = COMPRESSION_NONE;
+  TIFFGetField(t, TIFFTAG_COMPRESSION, &compression);
+  if (compression == COMPRESSION_JPEG) {
+    // SVS-style JPEG tiles are stored YCbCr; ask libtiff's JPEG codec to
+    // hand back RGB so region reads match openslide/pyvips semantics
+    TIFFSetField(t, TIFFTAG_JPEGCOLORMODE, JPEGCOLORMODE_RGB);
+  }
   const int bps = bytes_per_sample(s);
   const int src_ch = interleaved ? spp : 1;
 

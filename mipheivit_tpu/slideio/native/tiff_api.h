@@ -62,6 +62,8 @@ TIFFErrorHandler TIFFSetWarningHandler(TIFFErrorHandler);
 #define TIFFTAG_SUBIFD 330
 #define TIFFTAG_SAMPLEFORMAT 339
 #define TIFFTAG_JPEGQUALITY 65537
+#define TIFFTAG_JPEGCOLORMODE 65538
+#define JPEGCOLORMODE_RGB 1
 
 #define COMPRESSION_NONE 1
 #define COMPRESSION_LZW 5

@@ -284,6 +284,11 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
         if mesh is not None:
             train_metrics = jax.device_put(train_metrics, replicated(mesh))
         loader = dm.loader("train", epoch=epoch)
+        if jax.process_count() > 1:
+            # multi-host: each host walks a disjoint shard of the epoch
+            # (SURVEY.md §5: per-host tile sharding is the DCN-side analog
+            # of the reference's DataLoader sharding)
+            loader.shard(jax.process_index(), jax.process_count())
         epoch_losses: Dict[str, list] = {}
         for i, batch in enumerate(device_prefetch(loader, mesh=mesh, size=2)):
             if max_steps_per_epoch and i >= max_steps_per_epoch:

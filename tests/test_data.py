@@ -182,3 +182,18 @@ def test_datamodule_end_to_end(tile_tree):
     assert train_batch["image"].shape == (2, 32, 32, 3)
     val_batch = next(iter(dm.loader("val")))
     assert val_batch["image"].shape == (2, 32, 32, 3)
+
+
+def test_slide_dataset_input_only(tmp_path, rng):
+    from mipheivit_tpu.data.dataset import SlideDataset
+
+    he = rng.integers(0, 255, (3, 128, 128), dtype=np.uint8)
+    path = str(tmp_path / "he_only.tiff")
+    write_pyramid(path, he, n_levels=2, tile_size=64)
+    ds = SlideDataset.from_one_slide(path, [(0, 0), (64, 64)], 64)
+    assert len(ds) == 2
+    s = ds.__getitem__(0, rng=np.random.default_rng(0))
+    np.testing.assert_array_equal(
+        s["image"], np.moveaxis(he[:, :64, :64], 0, -1))
+    assert s["tile_name"] == "he_only_0_0_0_64_64"
+    assert "target" not in s
