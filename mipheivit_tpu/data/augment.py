@@ -71,6 +71,31 @@ class SpatialAugment:
         return {k: np.ascontiguousarray(v) for k, v in out.items()}
 
 
+class GrayscaleAugment:
+    """Randomized grayscale conversion (reference: src/augmentations.py:8-25):
+    rgb2gray (ITU-R 601 weights, skimage parity) scaled by alpha ~ U(1±s1)
+    and shifted by beta ~ U(±s2), clipped, replicated to 3 channels."""
+
+    def __init__(self, sigma1: float = 0.1, sigma2: float = 0.1,
+                 p: float = 0.5):
+        self.sigma1 = sigma1
+        self.sigma2 = sigma2
+        self.p = p
+
+    def __call__(self, image: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        if rng.random() >= self.p:
+            return image
+        alpha = rng.uniform(1 - self.sigma1, 1 + self.sigma1)
+        beta = rng.uniform(-self.sigma2, self.sigma2)
+        img = image.astype(np.float64)
+        if image.dtype == np.uint8:
+            img = img / 255.0
+        gray = img @ np.array([0.2125, 0.7154, 0.0721])
+        gray = np.clip(gray * alpha + beta, 0, 1)
+        out = np.stack([gray, gray, gray], axis=-1)
+        return np.clip(out * 255.0, 0, 255).astype(np.uint8)
+
+
 class HedColorAugment:
     """HED-space stain jitter (reference: src/augmentations.py:28-273)."""
 

@@ -62,7 +62,8 @@ def main() -> None:
         dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
         model, variables = load_generator(
             cfg, args.checkpoint_dir, (args.tile_size, args.tile_size),
-            len(names), dtype=dtype)
+            len(names), dtype=dtype,
+            fast_heads=cfg.model.model_name.startswith("myvitmatte"))
         he_norm = Normalizer(get_input_mean_std(
             cfg.model.model_name, cfg.select("model.encoder.encoder_name"),
             stats.rgb), mode="he")
