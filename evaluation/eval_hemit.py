@@ -61,9 +61,12 @@ def main():
     train_slides = list(train_df["in_slide_name"].unique())
     val_slides = list(val_df["in_slide_name"].unique())
     test_slides = list(test_df["in_slide_name"].unique())
-    train_cells = cell_dataframe[
-        cell_dataframe["slide_name"].isin(train_slides)].sample(
-        frac=0.05, random_state=42)
+    train_pool = cell_dataframe[
+        cell_dataframe["slide_name"].isin(train_slides)]
+    # 5% train-cell sample (reference: eval_hemit.py:237-243); keep at least
+    # a handful of cells so tiny datasets don't degenerate
+    n_sample = max(int(len(train_pool) * 0.05), min(len(train_pool), 10))
+    train_cells = train_pool.sample(n=n_sample, random_state=42)
     out_dir = Path(args.checkpoint_dir)
 
     for split, slides in (("val", val_slides), ("test", test_slides)):

@@ -91,10 +91,15 @@ def eval_setup(tmp_path, rng, monkeypatch):
 
     import mipheivit_tpu.infer.loading as loading
 
-    monkeypatch.setattr(
-        loading, "build_generator",
-        lambda cfg, img_size, nc_out, dtype="float32":
-        MipheiViT(vit_cfg=vit_cfg, out_chans=nc_out))
+    def tiny_builder(cfg, img_size, nc_out, dtype="float32"):
+        # honor the requested size (eval_hemit builds at half resolution;
+        # pos-embed is resampled on import)
+        size = tuple(img_size) if not isinstance(img_size, int) \
+            else (img_size, img_size)
+        return MipheiViT(vit_cfg=vit_cfg.replace(img_size=size),
+                         out_chans=nc_out)
+
+    monkeypatch.setattr(loading, "build_generator", tiny_builder)
     return str(ckpt_dir), tmp_path
 
 
@@ -148,3 +153,27 @@ def test_eval_immucan_end_to_end(eval_setup, monkeypatch):
     assert (Path(ckpt_dir) / "immucan_tile_sums.csv").exists()
     corr = pd.read_csv(Path(ckpt_dir) / "immucan_corr.csv")
     assert "CD3e" in set(corr["Marker"])
+
+
+def test_eval_hemit_end_to_end(eval_setup, monkeypatch, tmp_path):
+    """eval_hemit twin: 20x (0.5-scale) inference + train-cell-fit gating."""
+    import eval_hemit
+
+    ckpt_dir, base = eval_setup
+    # hemit needs a train dataframe too; reuse val tiles as "train"
+    from mipheivit_tpu.config import load_yaml, save_config
+
+    cfg = load_yaml(Path(ckpt_dir) / "config.yaml")
+    cfg.data.train_dataframe_path = cfg.data.val_dataframe_path
+    save_config(cfg, Path(ckpt_dir) / "config.yaml")
+
+    monkeypatch.setattr(sys, "argv",
+                        ["eval_hemit.py", "--checkpoint_dir", ckpt_dir,
+                         "--dataset_config_path", "/nonexistent.yaml",
+                         "--batch_size", "2"])
+    eval_hemit.main()
+    out = Path(ckpt_dir)
+    for split in ("val", "test"):
+        res = pd.read_csv(out / f"hemit_results_logreg_{split}.csv")
+        assert np.isfinite(res["ROC AUC"]).all()
+    assert (out / "hemit_cell_dataframe.csv").exists()
