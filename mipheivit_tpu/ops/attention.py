@@ -200,11 +200,13 @@ def dot_product_attention(
     """
     seq_len = q.shape[-2]
     if impl == "auto":
-        # Measured on v5e: XLA's fused attention wins at ViT-scale sequence
-        # lengths (the [B,H,S,S] intermediate still fits VMEM-friendly
-        # fusions); the Pallas flash kernel wins once S is long enough that
-        # materializing probs costs real HBM traffic.
-        impl = ("flash" if jax.default_backend() == "tpu" and seq_len > 1024
+        # Measured on v5e (b1-2, 24 heads, d64): XLA's fused attention wins
+        # up to ~1.3k tokens (0.85 vs 2.7 ms at S=1301); the Pallas flash
+        # kernel wins decisively once the [B,H,S,S] intermediate stops
+        # fitting fusions (S=4224: 3.2 vs 32 ms; S=8448: 14 vs 29 ms) and is
+        # the only option at whole-region scales where XLA would materialize
+        # tens of GB of probs.
+        impl = ("flash" if jax.default_backend() == "tpu" and seq_len > 2048
                 else "xla")
     if impl == "xla":
         return _attn_reference(q, k, v, seq_len)
