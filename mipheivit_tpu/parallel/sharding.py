@@ -61,3 +61,21 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     return jax.tree.map(
         lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
         params, specs)
+
+
+def shard_opt_state(opt, opt_state: Any, params: Any, mesh: Mesh) -> Any:
+    """Place the optimizer moments on the mesh following the param layout.
+
+    ``optax.tree_map_params`` knows which sub-trees of an arbitrary
+    (chained / masked) optax state mirror the params, so the Adam mu/nu
+    buffers get the same Megatron column/row splits as their weights and
+    the update never all-gathers a replicated moment against a sharded
+    param.
+    """
+    import optax
+
+    specs = encoder_param_specs(params)
+    return optax.tree_map_params(
+        opt,
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        opt_state, specs)
