@@ -47,12 +47,14 @@ def main():
                              train=False)
     )(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
-    # fused per-marker heads: exact same numerics, one pass over the
-    # feature map instead of 16 head chains (infer/loading.to_fast_heads)
-    from mipheivit_tpu.infer.loading import to_fast_heads
+    # fused per-marker heads + merged LoRA: exact same numerics, one pass
+    # over the feature map instead of 16 head chains, and the rank-8
+    # adapter chains folded into the qkv weights (infer/loading)
+    from mipheivit_tpu.infer.loading import merge_lora, to_fast_heads
 
     model, params = to_fast_heads(
         model, jax.tree.map(lambda v: v, params))
+    model, params = merge_lora(model, params)
 
     x = jax.random.normal(jax.random.PRNGKey(1),
                           (batch, cfg_model[1], cfg_model[1], 3))

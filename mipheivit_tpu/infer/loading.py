@@ -44,6 +44,50 @@ def to_fast_heads(model, variables):
                   "batch_stats": {**variables["batch_stats"], "decoder": fs}}
 
 
+def merge_lora(model, variables):
+    """Fold LoRA adapters into the fused qkv kernels for inference.
+
+    ``q += x @ A_q @ B_q`` becomes ``W_qkv[:, :D] += alpha * A_q @ B_q``
+    (same for the v slice), computed in f32 — mathematically identical to
+    the reference's unmerged adapters (reference: src/generators/lora.py:
+    21-33), within matmul re-association tolerance. Returns a LoRA-free
+    twin of the model plus its merged variables; the per-block rank-r
+    matmul chains and the q/v add passes disappear from the hot loop.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    cfg = model.vit_cfg
+    if cfg.lora_rank <= 0:
+        return model, variables
+    alpha = float(cfg.lora_alpha)
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        if "qkv" in node and "lora_q" in node:
+            kernel = np.array(node["qkv"]["kernel"], np.float32)
+            d = kernel.shape[-2]
+            for name, sl in (("lora_q", slice(0, d)),
+                             ("lora_v", slice(2 * d, 3 * d))):
+                a = np.asarray(node[name]["A"], np.float32)
+                b = np.asarray(node[name]["B"], np.float32)
+                delta = alpha * np.einsum("...dr,...re->...de", a, b)
+                kernel[..., sl] += delta
+            out = {k: v for k, v in node.items()
+                   if k not in ("lora_q", "lora_v")}
+            out["qkv"] = dict(node["qkv"])
+            out["qkv"]["kernel"] = jnp.asarray(
+                kernel.astype(np.asarray(node["qkv"]["kernel"]).dtype))
+            return out
+        return {k: walk(v) for k, v in node.items()}
+
+    merged = {k: (walk(v) if k == "params" else v)
+              for k, v in variables.items()}
+    return model.clone(vit_cfg=cfg.replace(lora_rank=0)), merged
+
+
 def load_generator(cfg, checkpoint_dir: str, img_size, nc_out: int,
                    dtype: str = "float32",
                    encoder_ckpt_path: Optional[str] = None,

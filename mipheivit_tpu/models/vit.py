@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
-from ..ops.attention import dot_product_attention
+from ..ops.attention import attention_bshd
 
 
 @dataclasses.dataclass(frozen=True)
@@ -110,12 +110,10 @@ class Attention(nn.Module):
             q = q + LoRA(d, cfg.lora_rank, cfg.lora_alpha, name="lora_q")(x)
             v = v + LoRA(d, cfg.lora_rank, cfg.lora_alpha, name="lora_v")(x)
 
-        def heads(t):
-            return t.reshape(b, s, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-
-        out = dot_product_attention(heads(q), heads(k), heads(v),
-                                    impl=cfg.attn_impl)
-        out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
+        # transpose-free path: attention consumes the fused-qkv layout
+        # [B, S, H*D] directly (Pallas kernel on TPU at ViT sequence
+        # lengths; falls back to explicit-head XLA attention elsewhere)
+        out = attention_bshd(q, k, v, cfg.num_heads, impl=cfg.attn_impl)
         return nn.Dense(d, name="proj", dtype=x.dtype)(out)
 
 

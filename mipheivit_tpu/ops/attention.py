@@ -96,8 +96,65 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
+def _short_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, group: int):
+    """Whole-sequence attention for ``group`` (batch*head) pairs per program.
+
+    At ViT scale (S_pad <= 512) the full [S,S] logits tile fits VMEM, so no
+    online softmax is needed: one exact softmax pass per head. Packing
+    ``group`` heads per program keeps DMA granularity high (d=64 blocks are
+    half a lane-width) and amortizes grid overhead; both matmuls run in
+    native bf16 with f32 accumulation, probs are cast to the value dtype
+    exactly like the XLA reference path."""
+    for g in range(group):
+        q = q_ref[g]                              # [S, D] input dtype
+        k = k_ref[g]
+        scale = 1.0 / float(np.sqrt(q.shape[-1]))
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale                                  # [S, S] f32
+        key_pos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(key_pos < seq_len, logits, _NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / l).astype(v_ref.dtype)            # bf16 probs (XLA parity)
+        o_ref[g] = jax.lax.dot_general(
+            p, v_ref[g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+def _short_forward(q, k, v, seq_len: int, interpret: bool):
+    b, h, s, d = q.shape
+    bh = b * h
+    group = 1
+    for cand in (16, 8, 4, 2):
+        if bh % cand == 0:
+            group = cand
+            break
+    kernel = functools.partial(_short_kernel, seq_len=seq_len, group=group)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh // group,),
+        in_specs=[
+            pl.BlockSpec((group, s, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, s, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, s, d), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((group, s, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(q.reshape(bh, s, d), k.reshape(bh, s, d), v.reshape(bh, s, d))
+    return out.reshape(b, h, s, d)
+
+
 def _flash_forward(q, k, v, seq_len: int, interpret: bool):
     b, h, s, d = q.shape
+    if s <= _MAX_BLOCK:
+        return _short_forward(q, k, v, seq_len, interpret)
     bh = b * h
     qf = q.reshape(bh, s, d)
     kf = k.reshape(bh, s, d)
@@ -183,6 +240,129 @@ def _pad_to(x, s_pad):
     if pad == 0:
         return x
     return jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+
+# ---------------------------------------------------------------------------
+# Transpose-free short-sequence path: q/k/v in [B, S, H*D] (the natural
+# layout coming out of the fused qkv matmul). At ViT scale the [B,H,S,D]
+# transposes around attention cost more HBM traffic than the attention
+# matmuls themselves; this kernel reads head slices straight out of the
+# lane dimension (blocks of heads_per_block*D lanes, 128-aligned for D=64)
+# and writes the output back in [B, S, H*D], so the surrounding qkv/proj
+# matmuls see zero layout ops.
+# ---------------------------------------------------------------------------
+
+
+def _bshd_kernel(q_ref, k_ref, v_ref, o_ref, *, head_dim: int,
+                 heads_per_block: int):
+    outs = []
+    scale = 1.0 / float(np.sqrt(head_dim))
+    for g in range(heads_per_block):
+        sl = slice(g * head_dim, (g + 1) * head_dim)
+        q = q_ref[0][:, sl]                        # [S, D]
+        k = k_ref[0][:, sl]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale                                   # [S, S] f32
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / l).astype(v_ref.dtype)
+        outs.append(jax.lax.dot_general(
+            p, v_ref[0][:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _bshd_forward(q, k, v, num_heads: int, interpret: bool):
+    b, s, hd = q.shape
+    d = hd // num_heads
+    hpb = num_heads
+    for cand in (8, 4, 2):  # keep per-program VMEM modest for many-head nets
+        if num_heads % cand == 0 and cand * d >= 128:
+            hpb = cand
+            break
+    kernel = functools.partial(_bshd_kernel, head_dim=d, heads_per_block=hpb)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, num_heads // hpb),
+        in_specs=[
+            pl.BlockSpec((1, s, hpb * d), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, s, hpb * d), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, s, hpb * d), lambda i, j: (i, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, s, hpb * d), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b, s, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _bshd_attention(q, k, v, num_heads: int, interpret: bool):
+    return _bshd_forward(q, k, v, num_heads, interpret)
+
+
+def _bshd_fwd_rule(q, k, v, num_heads, interpret):
+    out = _bshd_forward(q, k, v, num_heads, interpret)
+    return out, (q, k, v, out)
+
+
+def _bshd_bwd_rule(num_heads, interpret, residuals, g):
+    """XLA recompute backward in the [B, S, H, D] layout (no transposes to
+    or from [B,H,S,D]; XLA folds the head axis into the einsums)."""
+    q, k, v, out = residuals
+    b, s, hd = q.shape
+    d = hd // num_heads
+    scale = 1.0 / float(np.sqrt(d))
+
+    def split(t):
+        return t.reshape(b, s, num_heads, d).astype(jnp.float32)
+
+    qf, kf, vf, gf, of = (split(t) for t in (q, k, v, g, out))
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf,
+                        preferred_element_type=jnp.float32) * scale
+    lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - lse)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gf)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", gf, vf)
+    delta = jnp.einsum("bqhd,bqhd->bhq", gf, of)[..., None]
+    ds = p * (dp - delta) * scale
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, kf)
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, qf)
+    return (dq.reshape(b, s, hd).astype(q.dtype),
+            dk.reshape(b, s, hd).astype(k.dtype),
+            dv.reshape(b, s, hd).astype(v.dtype))
+
+
+_bshd_attention.defvjp(_bshd_fwd_rule, _bshd_bwd_rule)
+
+
+def attention_bshd(q, k, v, num_heads: int, *, impl: str = "auto"):
+    """Attention over the fused-qkv layout: q/k/v [B, S, H*D] -> [B, S, H*D].
+
+    The fast path (TPU, S small enough for whole-sequence VMEM softmax) runs
+    the transpose-free Pallas kernel; otherwise falls back to
+    ``dot_product_attention`` with explicit head transposes.
+    """
+    b, s, hd = q.shape
+    d = hd // num_heads
+    on_tpu = jax.default_backend() == "tpu"
+    use_kernel = (
+        impl in ("flash", "flash_interpret")
+        or (impl == "auto" and on_tpu)
+    ) and (d % 8 == 0) and 8 <= s <= _MAX_BLOCK
+    if use_kernel:
+        interpret = impl == "flash_interpret" or not on_tpu
+        return _bshd_attention(q, k, v, num_heads, interpret)
+
+    def heads(t):
+        return t.reshape(b, s, num_heads, d).transpose(0, 2, 1, 3)
+
+    out = dot_product_attention(heads(q), heads(k), heads(v), impl=impl)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, hd)
 
 
 def dot_product_attention(

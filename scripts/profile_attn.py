@@ -1,0 +1,99 @@
+"""Standalone attention microbenchmark at ViT-g flagship shape.
+
+Usage: python scripts/profile_attn.py [B H S D]
+Measures xla vs short-pallas impls with slope-fit timing, plus kernel
+ablations (no-exp, no-mask) to attribute the kernel's cost.
+"""
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from mipheivit_tpu.ops import attention as A
+
+    b, h, s, d = (int(a) for a in sys.argv[1:5]) if len(sys.argv) > 4 else (64, 24, 329, 64)
+    key = jax.random.PRNGKey(0)
+    q, k, v = (jax.random.normal(kk, (b, h, s, d), jnp.bfloat16)
+               for kk in jax.random.split(key, 3))
+
+    def slope(fn, *args, sizes=(4, 16)):
+        times = []
+        for n in sizes:
+            @jax.jit
+            def loop(q, k, v, seed, n=n):
+                def body(c, i):
+                    out = fn(q + (seed + i.astype(jnp.bfloat16)) * 1e-3, k, v)
+                    return c + out.mean().astype(jnp.float32), None
+                return jax.lax.scan(body, 0.0, jnp.arange(n))[0]
+            float(loop(q, k, v, 0.0))
+            t0 = time.time()
+            float(loop(q, k, v, float(np.random.default_rng().integers(1, 1 << 20))))
+            times.append(time.time() - t0)
+        return (times[1] - times[0]) / (sizes[1] - sizes[0])
+
+    t_xla = slope(lambda q, k, v: A._attn_reference(q, k, v, s))
+    print(f"xla:   {t_xla*1e3:.3f} ms")
+    t_short = slope(lambda q, k, v: A.dot_product_attention(q, k, v, impl="flash"))
+    print(f"short: {t_short*1e3:.3f} ms")
+
+    # ablations on a pre-padded input (isolate pad/slice cost)
+    s_pad = ((s + 127) // 128) * 128
+    qp, kp, vp = (A._pad_to(t, s_pad) for t in (q, k, v))
+    t_padded = slope(lambda q, k, v: A._short_forward(q, k, v, s, False), qp, kp, vp)
+    print(f"short pre-padded: {t_padded*1e3:.3f} ms   (pad/slice cost = {(t_short-t_padded)*1e3:.3f} ms)")
+
+    # variant kernel: replace exp with a multiply (isolates transcendental cost)
+    def noexp_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len, group):
+        for g in range(group):
+            qq = q_ref[g]
+            kk = k_ref[g]
+            scale = 1.0 / float(np.sqrt(qq.shape[-1]))
+            logits = jax.lax.dot_general(
+                qq, kk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            key_pos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(key_pos < seq_len, logits, A._NEG_INF)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = (logits - m) * 0.01   # stand-in for exp
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            p = (p / l).astype(v_ref.dtype)
+            o_ref[g] = jax.lax.dot_general(
+                p, v_ref[g], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+    def run_variant(kernel_fn, group):
+        bh = b * h
+        kern = functools.partial(kernel_fn, seq_len=s, group=group)
+        def f(q, k, v):
+            out = pl.pallas_call(
+                kern,
+                grid=(bh // group,),
+                in_specs=[pl.BlockSpec((group, s_pad, d), lambda i: (i, 0, 0))] * 3,
+                out_specs=pl.BlockSpec((group, s_pad, d), lambda i: (i, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+            )(q.reshape(bh, s_pad, d), k.reshape(bh, s_pad, d),
+              v.reshape(bh, s_pad, d))
+            return out
+        return slope(f, qp, kp, vp)
+
+    t_noexp = slope and run_variant(noexp_kernel, 16)
+    print(f"short noexp:      {t_noexp*1e3:.3f} ms   (exp cost = {(t_padded-t_noexp)*1e3:.3f} ms)")
+    for g in (4, 8):
+        tg = run_variant(functools.partial(A._short_kernel.__wrapped__
+                         if hasattr(A._short_kernel, "__wrapped__") else A._short_kernel), g) \
+            if False else run_variant(A._short_kernel, g)
+        print(f"short group={g}:    {tg*1e3:.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -52,3 +52,65 @@ def test_flash_backward_matches_reference(rng):
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(jnp.array(q), jnp.array(k), jnp.array(v))
     for a, b in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
+
+
+def test_bshd_kernel_matches_xla(rng):
+    """Transpose-free [B,S,H*D] kernel (interpret mode on CPU) vs the
+    explicit-head XLA path."""
+    from mipheivit_tpu.ops.attention import attention_bshd
+
+    b, h, s, d = 2, 4, 329, 32
+    q = rng.standard_normal((b, s, h * d)).astype(np.float32)
+    k = rng.standard_normal((b, s, h * d)).astype(np.float32)
+    v = rng.standard_normal((b, s, h * d)).astype(np.float32)
+    out = np.asarray(attention_bshd(
+        jnp.array(q), jnp.array(k), jnp.array(v), h, impl="flash_interpret"))
+    ref = np.asarray(attention_bshd(
+        jnp.array(q), jnp.array(k), jnp.array(v), h, impl="xla"))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_bshd_kernel_grads_match_xla(rng):
+    from mipheivit_tpu.ops.attention import attention_bshd
+
+    b, h, s, d = 1, 2, 50, 16
+    q = jnp.array(rng.standard_normal((b, s, h * d)), jnp.float32)
+    k = jnp.array(rng.standard_normal((b, s, h * d)), jnp.float32)
+    v = jnp.array(rng.standard_normal((b, s, h * d)), jnp.float32)
+
+    def f(impl):
+        return jax.grad(
+            lambda q, k, v: (attention_bshd(q, k, v, h, impl=impl) ** 2).sum(),
+            argnums=(0, 1, 2))(q, k, v)
+
+    for a, b_ in zip(f("flash_interpret"), f("xla")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_merge_lora_exact(rng):
+    """Folding LoRA into qkv weights reproduces the unmerged forward."""
+    from mipheivit_tpu.infer.loading import merge_lora
+    from mipheivit_tpu.models import MipheiViT, ViTConfig
+
+    cfg = ViTConfig(img_size=(32, 32), patch_size=4, embed_dim=64, depth=2,
+                    num_heads=2, mlp_hidden_dim=128, reg_tokens=4,
+                    no_embed_class=True, lora_rank=4, attn_impl="xla",
+                    remat=False)
+    m = MipheiViT(vit_cfg=cfg, out_chans=5)
+    x = jnp.array(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    # LoRA B init is zeros; perturb so the merge is load-bearing
+    v = jax.tree_util.tree_map_with_path(
+        lambda p, leaf: leaf + 0.02
+        if str(getattr(p[-1], "key", "")) == "B"
+        and any("lora" in str(getattr(kk, "key", "")) for kk in p) else leaf,
+        v)
+    ref = m.apply(v, x, train=False)
+    m2, v2 = merge_lora(m, v)
+    out = m2.apply(v2, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    assert not any(
+        "lora" in str(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(v2["params"]))
