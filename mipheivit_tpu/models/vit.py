@@ -50,6 +50,7 @@ class ViTConfig:
     attn_impl: str = "auto"
     remat: bool = True
     scan_blocks: bool = True
+    scan_unroll: int = 2          # unrolled scan steps (cross-block fusion)
     dtype: str = "float32"            # compute dtype ("bfloat16" on TPU)
 
     @property
@@ -239,6 +240,7 @@ class VisionTransformer(nn.Module):
                 split_rngs={"params": True},
                 in_axes=nn.broadcast,
                 length=cfg.depth,
+                unroll=min(cfg.scan_unroll, cfg.depth),
             )(cfg, name="blocks")(x, None)
             if self.intermediates:
                 inter = [ys[i] for i in self.intermediates]

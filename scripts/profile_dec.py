@@ -36,10 +36,11 @@ def main():
     class FusionsOnly(nn.Module):
         @nn.compact
         def __call__(self, features, images, train=False):
+            nb = features.shape[0]
             details = [images,
-                       jnp.zeros((batch, 128, 128, 48), dt),
-                       jnp.zeros((batch, 64, 64, 96), dt),
-                       jnp.zeros((batch, 32, 32, 192), dt)]
+                       jnp.zeros((nb, 128, 128, 48), dt),
+                       jnp.zeros((nb, 64, 64, 96), dt),
+                       jnp.zeros((nb, 32, 32, 192), dt)]
             x = features
             for i, ch in enumerate((256, 128, 64, 32)):
                 x = FusionBlock(ch, name=f"fusion_blks_{i}")(x, details[4 - i - 1], train)
