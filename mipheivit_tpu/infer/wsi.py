@@ -15,6 +15,11 @@ ever sees fixed-shape batches (one compilation).
 from __future__ import annotations
 
 import logging
+import queue
+import threading
+import time
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Sequence
 
 import numpy as np
@@ -102,10 +107,26 @@ def wsi_inference(
     mesh=None,
     n_pyramid_levels: int = 4,
     memmap_path: Optional[str] = None,
+    read_workers: int = 8,
+    queue_depth: int = 4,
+    dispatch_depth: int = 2,
 ) -> str:
     """``memmap_path``: spill the finalized uint8 mosaic to a disk-backed
     np.memmap instead of RAM (gigapixel slides); the rolling f32
-    accumulator is a band either way."""
+    accumulator is a band either way.
+
+    The host loop is a three-stage pipeline (this is the benchmark path for
+    the >=5x whole-slide target, SURVEY.md §2.2):
+
+      reader threads -> batch queue -> async device dispatch -> stitcher
+
+    ``read_workers`` threads decode tiles ahead of compute into a bounded
+    queue of ready batches (depth ``queue_depth``); the main thread keeps up
+    to ``dispatch_depth`` jitted forward calls in flight (JAX async dispatch)
+    and only blocks on the oldest result while the device is already working
+    on the next — so tile decode and overlap stitching both hide behind TPU
+    compute. Per-phase timers (read-starvation vs device wait) are logged at
+    the end so host-boundedness is visible."""
     import jax
     import jax.numpy as jnp
 
@@ -137,15 +158,75 @@ def wsi_inference(
     rolling = RollingAccumulator(out, tile_size, stride)
     window = _blend_window(tile_size, overlap)
 
-    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    # clip/scale fused into the jitted forward: one less host pass over the
+    # prediction and XLA fuses it into the last decoder op.
+    fwd = jax.jit(lambda v, x: jnp.clip(
+        (model.apply(v, x, train=False) + 0.9) / 1.8, 0.0, 1.0) * 255.0)
     sharding = None
     if mesh is not None:
         from ..parallel import batch_sharding
 
         sharding = batch_sharding(mesh)
 
-    def run_batch(tiles, coords):
-        x = np.stack(tiles)
+    # ---- stage 1: reader threads fill a bounded queue of ready batches ----
+    batch_q: queue.Queue = queue.Queue(maxsize=queue_depth)
+    producer_err: list = []
+
+    def _fetch(loc):
+        tx, ty = int(loc[0]), int(loc[1])
+        tile = reader.read_region((tx, ty), level, (tile_size, tile_size))
+        return np.asarray(he_normalizer(tile), np.float32), (tx, ty)
+
+    read_ahead = max(read_workers * 2, batch_size)
+
+    def _producer():
+        try:
+            with ThreadPoolExecutor(read_workers) as pool:
+                inflight: deque = deque()
+                idx = 0
+                tiles, coords = [], []
+                while idx < len(locs) or inflight:
+                    while idx < len(locs) and len(inflight) < read_ahead:
+                        inflight.append(pool.submit(_fetch, locs[idx]))
+                        idx += 1
+                    tile, coord = inflight.popleft().result()
+                    tiles.append(tile)
+                    coords.append(coord)
+                    if len(tiles) == batch_size:
+                        batch_q.put((np.stack(tiles), coords))
+                        tiles, coords = [], []
+                if tiles:
+                    batch_q.put((np.stack(tiles), coords))
+        except BaseException as e:  # surface reader failures to the consumer
+            producer_err.append(e)
+        finally:
+            batch_q.put(None)
+
+    threading.Thread(target=_producer, daemon=True,
+                     name="wsi-read-producer").start()
+
+    # ---- stages 2+3: async dispatch, drain oldest while device computes ----
+    read_wait_s = 0.0
+    device_wait_s = 0.0
+    pending: deque = deque()   # (device_pred, coords, n)
+
+    def _drain_one():
+        nonlocal device_wait_s
+        pred_dev, coords, n = pending.popleft()
+        t0 = time.perf_counter()
+        preds = np.asarray(pred_dev)[:n]
+        device_wait_s += time.perf_counter() - t0
+        for pred, (tx, ty) in zip(preds, coords):
+            rolling.add(pred, tx, ty, window)
+
+    n_batches = 0
+    while True:
+        t0 = time.perf_counter()
+        item = batch_q.get()
+        read_wait_s += time.perf_counter() - t0
+        if item is None:
+            break
+        x, coords = item
         n = x.shape[0]
         if n < batch_size:
             x = np.concatenate(
@@ -153,24 +234,22 @@ def wsi_inference(
         xj = jnp.asarray(x)
         if sharding is not None:
             xj = jax.device_put(xj, sharding)
-        preds = np.asarray(fwd(variables, xj))[:n]
-        preds = np.clip((preds + 0.9) / 1.8, 0.0, 1.0) * 255.0
-        for pred, (tx, ty) in zip(preds, coords):
-            rolling.add(pred, tx, ty, window)
-
-    tiles, coords = [], []
-    for (tx, ty) in locs:
-        tile = reader.read_region((int(tx), int(ty)), level,
-                                  (tile_size, tile_size))
-        tiles.append(np.asarray(he_normalizer(tile), np.float32))
-        coords.append((int(tx), int(ty)))
-        if len(tiles) == batch_size:
-            run_batch(tiles, coords)
-            tiles, coords = [], []
-    if tiles:
-        run_batch(tiles, coords)
+        pending.append((fwd(variables, xj), coords, n))
+        n_batches += 1
+        while len(pending) > dispatch_depth:
+            _drain_one()
+    while pending:
+        _drain_one()
+    if producer_err:
+        raise producer_err[0]
 
     rolling.finalize()
+    if n_batches:
+        log.info(
+            "WSI pipeline: %d batches, read-starvation %.1f ms/batch, "
+            "device-wait %.1f ms/batch",
+            n_batches, 1000.0 * read_wait_s / n_batches,
+            1000.0 * device_wait_s / n_batches)
     xml = build_ome_xml(w, h, channel_names, "uint8",
                         physical_size_um=reader.mpp)
     write_pyramid(out_path, out, n_levels=n_pyramid_levels,

@@ -229,3 +229,33 @@ def test_wsi_streaming_matches_inram(inference_setup, tmp_path):
     np.testing.assert_array_equal(a, b)
     assert (a.sum(axis=-1) > 0).mean() > 0.99
     ta.close(); tb.close()
+
+
+def test_wsi_inference_mesh_matches_single_device(inference_setup, tmp_path):
+    """Batch-sharded WSI inference over the 8-device CPU mesh must stitch
+    bit-equal to the single-device path (VERDICT r1 #3)."""
+    cfg, ckpt_dir, vit_cfg, (model, variables) = inference_setup
+    from mipheivit_tpu.data.stats import Normalizer
+    from mipheivit_tpu.infer import wsi_inference
+    from mipheivit_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(11)
+    he = rng.integers(60, 255, (3, 128, 128), dtype=np.uint8)
+    slide_path = str(tmp_path / "wsi3.tiff")
+    write_pyramid(slide_path, he, n_levels=2, tile_size=32)
+    norm = Normalizer({"mean": [180.0] * 3, "std": [40.0] * 3}, "he")
+    kwargs = dict(tile_size=32, overlap=8, batch_size=8, tissue_only=False,
+                  n_pyramid_levels=2)
+    out_single = wsi_inference(model, variables, slide_path,
+                               str(tmp_path / "s.ome.tiff"),
+                               ["CD31", "CD3e", "Ki67"], norm, **kwargs)
+    mesh = make_mesh(n_data=8)
+    out_mesh = wsi_inference(model, variables, slide_path,
+                             str(tmp_path / "m.ome.tiff"),
+                             ["CD31", "CD3e", "Ki67"], norm, mesh=mesh,
+                             **kwargs)
+    ts, tm = TiffSlide(out_single), TiffSlide(out_mesh)
+    a = ts.read_region((0, 0), 0, ts.dimensions)
+    b = tm.read_region((0, 0), 0, tm.dimensions)
+    np.testing.assert_array_equal(a, b)
+    ts.close(); tm.close()
