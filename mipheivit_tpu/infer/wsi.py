@@ -24,10 +24,30 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from ..slideio import SlideReader, build_ome_xml, get_locs_otsu, write_pyramid
+from ..slideio import (
+    PyramidWriter,
+    SlideReader,
+    build_ome_xml,
+    get_locs_otsu,
+    write_pyramid,
+)
 from ..data.stats import Normalizer
 
 log = logging.getLogger(__name__)
+
+
+class _BandSink:
+    """Array-shaped adapter so RollingAccumulator's sequential row writes
+    stream straight into a PyramidWriter — no full-slide mosaic, neither in
+    RAM nor as a memmap (the native writer spills to disk itself)."""
+
+    def __init__(self, writer: PyramidWriter):
+        self.writer = writer
+        self.shape = (writer.n_channels, writer.height, writer.width)
+        self.dtype = writer.dtype
+
+    def __setitem__(self, key, value):
+        self.writer.write_band(value)
 
 
 class RollingAccumulator:
@@ -111,9 +131,10 @@ def wsi_inference(
     queue_depth: int = 4,
     dispatch_depth: int = 2,
 ) -> str:
-    """``memmap_path``: spill the finalized uint8 mosaic to a disk-backed
-    np.memmap instead of RAM (gigapixel slides); the rolling f32
-    accumulator is a band either way.
+    """Memory is bounded regardless of slide size: the rolling f32
+    accumulator is one tile band, and finalized uint8 rows stream straight
+    into the native PyramidWriter (disk spill). ``memmap_path`` additionally
+    keeps the raw [C, H, W] mosaic on disk as a np.memmap side product.
 
     The host loop is a three-stage pipeline (this is the benchmark path for
     the >=5x whole-slide target, SURVEY.md §2.2):
@@ -150,11 +171,20 @@ def wsi_inference(
     locs = locs[np.lexsort((locs[:, 0], locs[:, 1]))]
     log.info("WSI %s: %dx%d, %d tiles", slide_path, w, h, len(locs))
 
+    xml = build_ome_xml(w, h, channel_names, "uint8",
+                        physical_size_um=reader.mpp)
+    writer = None
     if memmap_path:
+        # kept for callers that want the raw mosaic on disk as a side
+        # product; the default path below needs no mosaic at all.
         out = np.memmap(memmap_path, dtype=np.uint8, mode="w+",
                         shape=(n_ch, h, w))
     else:
-        out = np.zeros((n_ch, h, w), np.uint8)
+        writer = PyramidWriter(
+            out_path, width=w, height=h, n_channels=n_ch, dtype=np.uint8,
+            n_levels=n_pyramid_levels, tile_size=min(512, tile_size),
+            mpp=reader.mpp or 0.0, ome_xml=xml)
+        out = _BandSink(writer)
     rolling = RollingAccumulator(out, tile_size, stride)
     window = _blend_window(tile_size, overlap)
 
@@ -250,11 +280,12 @@ def wsi_inference(
             "device-wait %.1f ms/batch",
             n_batches, 1000.0 * read_wait_s / n_batches,
             1000.0 * device_wait_s / n_batches)
-    xml = build_ome_xml(w, h, channel_names, "uint8",
-                        physical_size_um=reader.mpp)
-    write_pyramid(out_path, out, n_levels=n_pyramid_levels,
-                  tile_size=min(512, tile_size), mpp=reader.mpp or 0.0,
-                  ome_xml=xml)
+    if writer is not None:
+        writer.close()
+    else:
+        write_pyramid(out_path, out, n_levels=n_pyramid_levels,
+                      tile_size=min(512, tile_size), mpp=reader.mpp or 0.0,
+                      ome_xml=xml)
     reader.close()
     log.info("wrote stitched mIF pyramid to %s", out_path)
     return out_path

@@ -10,7 +10,7 @@ C++ engine on libtiff (native/slidetiff.cpp) + thin Python facade:
 
 from .ome import build_ome_xml, parse_channel_names
 from .reader import SlideReader, SlideVips
-from .tiffio import TiffSlide, write_pyramid
+from .tiffio import PyramidWriter, TiffSlide, write_pyramid
 from .tiling import get_locs_otsu, order_tiles_horizontally
 
 
@@ -43,7 +43,7 @@ def read_image(path, channel_idxs=None):
 
 
 __all__ = [
-    "SlideReader", "SlideVips", "TiffSlide", "write_pyramid",
+    "PyramidWriter", "SlideReader", "SlideVips", "TiffSlide", "write_pyramid",
     "build_ome_xml", "parse_channel_names", "get_locs_otsu",
     "order_tiles_horizontally", "read_image",
 ]

@@ -21,9 +21,11 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <fcntl.h>
 #include <map>
 #include <mutex>
 #include <string>
+#include <unistd.h>
 #include <vector>
 
 #include "tiff_api.h"
@@ -379,42 +381,89 @@ int st_read_region(void *handle, int level, int64_t x, int64_t y,
 // data: planar channel-major buffer [channels][height][width] (bps bytes).
 // levels: number of pyramid levels (>=1), each downsampled 2x (mean).
 
-static void downsample2x(const uint8_t *src, int64_t w, int64_t h, int bps,
-                         int fmt, std::vector<uint8_t> *dst, int64_t *dw,
-                         int64_t *dh) {
-  *dw = std::max<int64_t>(1, w / 2);
-  *dh = std::max<int64_t>(1, h / 2);
-  dst->resize((size_t)(*dw) * (*dh) * bps);
-  for (int64_t yy = 0; yy < *dh; ++yy) {
-    for (int64_t xx = 0; xx < *dw; ++xx) {
-      int64_t x0 = xx * 2, y0 = yy * 2;
-      int64_t x1 = std::min(x0 + 1, w - 1), y1 = std::min(y0 + 1, h - 1);
-      if (bps == 1) {
-        uint32_t v = src[y0 * w + x0] + src[y0 * w + x1] +
-                     src[y1 * w + x0] + src[y1 * w + x1];
-        (*dst)[yy * (*dw) + xx] = (uint8_t)(v / 4);
-      } else if (bps == 2) {
-        const uint16_t *s16 = (const uint16_t *)src;
-        uint32_t v = s16[y0 * w + x0] + s16[y0 * w + x1] +
-                     s16[y1 * w + x0] + s16[y1 * w + x1];
-        ((uint16_t *)dst->data())[yy * (*dw) + xx] = (uint16_t)(v / 4);
-      } else if (fmt == SAMPLEFORMAT_IEEEFP) {
-        const float *sf = (const float *)src;
-        float v = sf[y0 * w + x0] + sf[y0 * w + x1] +
-                  sf[y1 * w + x0] + sf[y1 * w + x1];
-        ((float *)dst->data())[yy * (*dw) + xx] = v / 4.0f;
-      } else {
-        // 32-bit integer planes are label masks: nearest, never averaged
-        const uint32_t *s32 = (const uint32_t *)src;
-        ((uint32_t *)dst->data())[yy * (*dw) + xx] = s32[y0 * w + x0];
-      }
+// ---- streaming pyramid writer ------------------------------------------
+// WSI outputs (cleaned mIF slides, stitched predictions, label masks) are
+// too large to hold in RAM; like the reference's per-channel temp-TIFF /
+// HDF5 spills (mif_cleaning.py:157-182, cellpose_wsi_inference.py:161-185)
+// the writer accepts raster-order [C, band_h, W] bands, spills them to a
+// scratch file, and at close streams tiles + 2x-reduced levels from disk —
+// peak RAM is one tile band regardless of slide size.
+
+static int pread_all(int fd, uint8_t *buf, size_t n, int64_t off) {
+  while (n > 0) {
+    ssize_t r = pread(fd, buf, n, (off_t)off);
+    if (r <= 0) return -4;
+    buf += r; off += r; n -= (size_t)r;
+  }
+  return 0;
+}
+
+static int pwrite_all(int fd, const uint8_t *buf, size_t n, int64_t off) {
+  while (n > 0) {
+    ssize_t r = pwrite(fd, buf, n, (off_t)off);
+    if (r <= 0) return -5;
+    buf += r; off += r; n -= (size_t)r;
+  }
+  return 0;
+}
+
+// one output row from an input row pair (r1 == r0 only when h == 1)
+static void down2x_rows(const uint8_t *r0, const uint8_t *r1, int64_t w,
+                        int bps, int fmt, uint8_t *out, int64_t dw) {
+  for (int64_t xx = 0; xx < dw; ++xx) {
+    int64_t x0 = xx * 2, x1 = std::min(x0 + 1, w - 1);
+    if (bps == 1) {
+      uint32_t v = r0[x0] + r0[x1] + r1[x0] + r1[x1];
+      out[xx] = (uint8_t)(v / 4);
+    } else if (bps == 2) {
+      const uint16_t *a = (const uint16_t *)r0, *b = (const uint16_t *)r1;
+      uint32_t v = a[x0] + a[x1] + b[x0] + b[x1];
+      ((uint16_t *)out)[xx] = (uint16_t)(v / 4);
+    } else if (fmt == SAMPLEFORMAT_IEEEFP) {
+      const float *a = (const float *)r0, *b = (const float *)r1;
+      ((float *)out)[xx] = (a[x0] + a[x1] + b[x0] + b[x1]) / 4.0f;
+    } else {
+      // 32-bit integer planes are label masks: nearest, never averaged
+      ((uint32_t *)out)[xx] = ((const uint32_t *)r0)[x0];
     }
   }
 }
 
-static int write_plane(TIFF *t, const uint8_t *plane, int64_t w, int64_t h,
-                       int bps, int fmt, int tile_size, int n_sub,
-                       double mpp, const char *description, int compression) {
+// chunked file-to-file 2x reduction of one plane; chunks are even numbers
+// of input rows so the 2x2 averaging is bit-identical to a whole-plane pass
+static int downsample2x_fd(int src, int64_t soff, int64_t w, int64_t h,
+                           int bps, int fmt, int dst, int64_t *dwp,
+                           int64_t *dhp) {
+  int64_t dw = std::max<int64_t>(1, w / 2), dh = std::max<int64_t>(1, h / 2);
+  *dwp = dw; *dhp = dh;
+  if (ftruncate(dst, (off_t)(dw * dh * bps))) return -3;
+  const int64_t kRows = 256;  // output rows per chunk
+  std::vector<uint8_t> in((size_t)(2 * kRows) * w * bps);
+  std::vector<uint8_t> out((size_t)kRows * dw * bps);
+  for (int64_t oy = 0; oy < dh; oy += kRows) {
+    int64_t orows = std::min<int64_t>(kRows, dh - oy);
+    int64_t iy = oy * 2;
+    int64_t irows = std::min<int64_t>(2 * orows, h - iy);
+    if (pread_all(src, in.data(), (size_t)(irows * w * bps),
+                  soff + iy * w * bps))
+      return -4;
+    for (int64_t r = 0; r < orows; ++r) {
+      const uint8_t *r0 = in.data() + (size_t)(2 * r) * w * bps;
+      const uint8_t *r1 = (2 * r + 1 < irows) ? r0 + (size_t)w * bps : r0;
+      down2x_rows(r0, r1, w, bps, fmt, out.data() + (size_t)r * dw * bps, dw);
+    }
+    if (pwrite_all(dst, out.data(), (size_t)(orows * dw * bps),
+                   oy * dw * bps))
+      return -5;
+  }
+  return 0;
+}
+
+// plane tiles streamed from a scratch fd, one tile row band resident
+static int write_plane_fd(TIFF *t, int fd, int64_t base, int64_t w,
+                          int64_t h, int bps, int fmt, int tile_size,
+                          int n_sub, double mpp, const char *description,
+                          int compression) {
   TIFFSetField(t, TIFFTAG_IMAGEWIDTH, (uint32_t)w);
   TIFFSetField(t, TIFFTAG_IMAGELENGTH, (uint32_t)h);
   TIFFSetField(t, TIFFTAG_SAMPLESPERPIXEL, (uint16_t)1);
@@ -437,15 +486,19 @@ static int write_plane(TIFF *t, const uint8_t *plane, int64_t w, int64_t h,
     TIFFSetField(t, TIFFTAG_SUBIFD, (uint16_t)n_sub, subs.data());
   }
 
+  std::vector<uint8_t> band((size_t)tile_size * w * bps);
   std::vector<uint8_t> tile((size_t)tile_size * tile_size * bps);
   for (int64_t ty = 0; ty < h; ty += tile_size) {
+    int64_t ch = std::min<int64_t>(tile_size, h - ty);
+    if (pread_all(fd, band.data(), (size_t)(ch * w * bps),
+                  base + ty * w * bps))
+      return -4;
     for (int64_t tx = 0; tx < w; tx += tile_size) {
       memset(tile.data(), 0, tile.size());
       int64_t cw = std::min<int64_t>(tile_size, w - tx);
-      int64_t ch = std::min<int64_t>(tile_size, h - ty);
       for (int64_t yy = 0; yy < ch; ++yy) {
-        memcpy(tile.data() + (yy * tile_size) * bps,
-               plane + ((ty + yy) * w + tx) * bps, cw * bps);
+        memcpy(tile.data() + (size_t)(yy * tile_size) * bps,
+               band.data() + (size_t)(yy * w + tx) * bps, (size_t)cw * bps);
       }
       if (TIFFWriteTile(t, tile.data(), (uint32_t)tx, (uint32_t)ty, 0, 0) < 0)
         return -1;
@@ -455,39 +508,118 @@ static int write_plane(TIFF *t, const uint8_t *plane, int64_t w, int64_t h,
   return 0;
 }
 
+struct StreamWriter {
+  std::string path, spill_path;
+  int64_t width = 0, height = 0, y_filled = 0;
+  int channels = 0, bps = 0, fmt = 0, n_levels = 1, tile_size = 512;
+  int compression = 8, fd = -1;
+  double mpp = 0.0;
+  std::string ome_xml;
+};
+
+void *st_writer_open(const char *path, int64_t width, int64_t height,
+                     int channels, int bytes_per_sample_, int sample_format,
+                     int n_levels, int tile_size, double mpp,
+                     const char *ome_xml, int compression) {
+  StreamWriter *sw = new StreamWriter();
+  sw->path = path;
+  sw->spill_path = std::string(path) + ".spill";
+  sw->width = width; sw->height = height; sw->channels = channels;
+  sw->bps = bytes_per_sample_; sw->fmt = sample_format;
+  sw->n_levels = n_levels; sw->tile_size = tile_size;
+  sw->mpp = mpp; sw->ome_xml = ome_xml ? ome_xml : "";
+  sw->compression = compression;
+  sw->fd = ::open(sw->spill_path.c_str(), O_RDWR | O_CREAT | O_TRUNC, 0600);
+  int64_t total = (int64_t)channels * width * height * sw->bps;
+  if (sw->fd < 0 || ftruncate(sw->fd, (off_t)total)) {
+    if (sw->fd >= 0) { ::close(sw->fd); ::unlink(sw->spill_path.c_str()); }
+    delete sw;
+    return nullptr;
+  }
+  return sw;
+}
+
+int st_writer_write_band(void *hv, const uint8_t *band, int64_t band_h) {
+  StreamWriter *sw = (StreamWriter *)hv;
+  if (sw->y_filled + band_h > sw->height) return -6;
+  const int64_t w = sw->width, bps = sw->bps;
+  for (int c = 0; c < sw->channels; ++c) {
+    int64_t off = ((int64_t)c * sw->height + sw->y_filled) * w * bps;
+    if (pwrite_all(sw->fd, band + (size_t)c * band_h * w * bps,
+                   (size_t)(band_h * w * bps), off))
+      return -5;
+  }
+  sw->y_filled += band_h;
+  return 0;
+}
+
+static void stream_cleanup(StreamWriter *sw) {
+  if (sw->fd >= 0) ::close(sw->fd);
+  ::unlink(sw->spill_path.c_str());
+  delete sw;
+}
+
+void st_writer_abort(void *hv) { stream_cleanup((StreamWriter *)hv); }
+
+int st_writer_close(void *hv) {
+  StreamWriter *sw = (StreamWriter *)hv;
+  if (sw->y_filled != sw->height) { stream_cleanup(sw); return -6; }
+  TIFFSetErrorHandler(quiet_handler);
+  TIFFSetWarningHandler(quiet_handler);
+  TIFF *t = TIFFOpen(sw->path.c_str(), "w8");  // BigTIFF: WSI-scale safety
+  if (!t) { stream_cleanup(sw); return -1; }
+  // ping-pong scratch files for the reduced levels
+  std::string sp[2] = {sw->spill_path + ".a", sw->spill_path + ".b"};
+  int sf[2] = {-1, -1};
+  int rc = 0;
+  if (sw->n_levels > 1) {
+    for (int i = 0; i < 2 && rc == 0; ++i) {
+      sf[i] = ::open(sp[i].c_str(), O_RDWR | O_CREAT | O_TRUNC, 0600);
+      if (sf[i] < 0) rc = -3;
+    }
+  }
+  for (int c = 0; c < sw->channels && rc == 0; ++c) {
+    int64_t off = (int64_t)c * sw->width * sw->height * sw->bps;
+    // full-res page (OME-XML only on the first page, OME-TIFF convention)
+    rc = write_plane_fd(t, sw->fd, off, sw->width, sw->height, sw->bps,
+                        sw->fmt, sw->tile_size, sw->n_levels - 1, sw->mpp,
+                        c == 0 ? sw->ome_xml.c_str() : "", sw->compression);
+    // reduced levels into the SubIFD chain
+    int64_t cw = sw->width, ch = sw->height;
+    int src = sw->fd, flip = 0;
+    int64_t soff = off;
+    for (int lvl = 1; lvl < sw->n_levels && rc == 0; ++lvl) {
+      int64_t dw, dh;
+      rc = downsample2x_fd(src, soff, cw, ch, sw->bps, sw->fmt, sf[flip],
+                           &dw, &dh);
+      if (rc) break;
+      TIFFSetField(t, TIFFTAG_SUBFILETYPE, (uint32_t)FILETYPE_REDUCEDIMAGE);
+      rc = write_plane_fd(t, sf[flip], 0, dw, dh, sw->bps, sw->fmt,
+                          sw->tile_size, 0, sw->mpp * (double)(1 << lvl), "",
+                          sw->compression);
+      src = sf[flip]; soff = 0; cw = dw; ch = dh; flip ^= 1;
+    }
+  }
+  TIFFClose(t);
+  for (int i = 0; i < 2; ++i) {
+    if (sf[i] >= 0) ::close(sf[i]);
+    ::unlink(sp[i].c_str());
+  }
+  stream_cleanup(sw);
+  return rc;
+}
+
 int st_write_pyramid(const char *path, const uint8_t *data, int64_t width,
                      int64_t height, int channels, int bytes_per_sample_,
                      int sample_format, int n_levels, int tile_size,
                      double mpp, const char *ome_xml, int compression) {
-  TIFFSetErrorHandler(quiet_handler);
-  TIFFSetWarningHandler(quiet_handler);
-  TIFF *t = TIFFOpen(path, "w8");  // BigTIFF: WSI-scale safety
-  if (!t) return -1;
-  const int bps = bytes_per_sample_;
-  for (int c = 0; c < channels; ++c) {
-    const uint8_t *plane = data + (size_t)c * width * height * bps;
-    // full-res page (OME-XML only on the first page, OME-TIFF convention)
-    int rc = write_plane(t, plane, width, height, bps, sample_format,
-                         tile_size, n_levels - 1, mpp,
-                         c == 0 ? ome_xml : "", compression);
-    if (rc != 0) { TIFFClose(t); return rc; }
-    // reduced levels into the SubIFD chain
-    std::vector<uint8_t> cur(plane, plane + (size_t)width * height * bps);
-    int64_t cw = width, chh = height;
-    for (int lvl = 1; lvl < n_levels; ++lvl) {
-      std::vector<uint8_t> down;
-      int64_t dw, dh;
-      downsample2x(cur.data(), cw, chh, bps, sample_format, &down, &dw, &dh);
-      TIFFSetField(t, TIFFTAG_SUBFILETYPE, (uint32_t)FILETYPE_REDUCEDIMAGE);
-      rc = write_plane(t, down.data(), dw, dh, bps, sample_format, tile_size,
-                       0, mpp * (double)(1 << lvl), "", compression);
-      if (rc != 0) { TIFFClose(t); return rc; }
-      cur.swap(down);
-      cw = dw; chh = dh;
-    }
-  }
-  TIFFClose(t);
-  return 0;
+  void *h = st_writer_open(path, width, height, channels, bytes_per_sample_,
+                           sample_format, n_levels, tile_size, mpp, ome_xml,
+                           compression);
+  if (!h) return -1;
+  int rc = st_writer_write_band(h, data, height);
+  if (rc != 0) { st_writer_abort(h); return rc; }
+  return st_writer_close(h);
 }
 
 }  // extern "C"

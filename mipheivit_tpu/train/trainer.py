@@ -289,7 +289,31 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
             # (SURVEY.md §5: per-host tile sharding is the DCN-side analog
             # of the reference's DataLoader sharding)
             loader.shard(jax.process_index(), jax.process_count())
-        epoch_losses: Dict[str, list] = {}
+        # Device-side loss/NaN accumulation: the hot loop must dispatch
+        # ahead of the device, so no per-step float()/bool() host syncs
+        # (each would block until the step finishes and defeat
+        # device_prefetch's double-buffer). Scalars are summed on device
+        # with tiny async ops and fetched once every ``log_every`` steps;
+        # the NaN guard piggybacks on the same fetch (reference checks
+        # every step — src/models.py:102-105 — but is sync-bound by it).
+        log_every = 50
+        slog_sums: Optional[Dict] = None
+        slog_last: Optional[Dict] = None
+        nan_any = None
+        slog_count = 0
+
+        def sync_and_check_nan():
+            """One blocking fetch: latest scalars + OR of all NaN flags
+            since the last check. Returns the latest host-side scalars."""
+            nonlocal nan_any
+            if slog_last is None:
+                return {}
+            fetched = jax.device_get({"last": slog_last, "nan": nan_any})
+            if bool(fetched["nan"]):
+                export_checkpoint("weights_nan")
+                raise ValueError("Nan found")  # reference: models.py:105
+            return {k: float(v) for k, v in fetched["last"].items()}
+
         for i, batch in enumerate(device_prefetch(loader, mesh=mesh, size=2)):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
@@ -304,15 +328,18 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
                 jax.block_until_ready(slog["gen_loss"])
                 jax.profiler.stop_trace()
                 log.info("profiler trace -> %s", logdir / "profile")
-            for k, v in slog.items():
-                if k != "nan":
-                    epoch_losses.setdefault(k, []).append(float(v))
-            if global_step % 50 == 0:
-                logger.log({k: v[-1] for k, v in epoch_losses.items()},
-                           step=global_step)
-            if bool(slog["nan"]):
-                export_checkpoint("weights_nan")
-                raise ValueError("Nan found")  # reference: models.py:105
+            nan_flag = slog["nan"]
+            scalars = {k: v for k, v in slog.items() if k != "nan"}
+            slog_last = scalars
+            slog_count += 1
+            if slog_sums is None:
+                slog_sums = scalars
+                nan_any = nan_flag
+            else:
+                slog_sums = jax.tree.map(jnp.add, slog_sums, scalars)
+                nan_any = jnp.logical_or(nan_any, nan_flag)
+            if global_step % log_every == 0:
+                logger.log(sync_and_check_nan(), step=global_step)
             if global_step % 1000 == 1:
                 pred = np.asarray(
                     eval_step(state, b, PixelMetrics.zeros())[1]["pred"])
@@ -320,10 +347,13 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
                     str(logdir / "logs_img" / f"step{global_step}.png"),
                     he_norm.unormalize(np.asarray(batch["image"])),
                     pred, np.asarray(b["target"]))
+        sync_and_check_nan()  # end-of-epoch NaN check + drain
         epoch_metrics = {f"train_{k}": float(v)
                          for k, v in train_metrics.compute().items()}
-        epoch_metrics.update(
-            {k: float(np.mean(v)) for k, v in epoch_losses.items()})
+        if slog_sums is not None:
+            sums = jax.device_get(slog_sums)
+            epoch_metrics.update(
+                {k: float(v) / slog_count for k, v in sums.items()})
         epoch_metrics.update(loader.stats.snapshot())
         epoch_metrics.update(run_eval("val", epoch))
         epoch_metrics["epoch"] = epoch

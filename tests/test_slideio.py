@@ -138,3 +138,42 @@ def test_get_locs_otsu():
     assert len(positions) >= 4
     assert ((positions >= 0) & (positions <= 1000)).all()
     assert (pcts > 0.1).all()
+
+
+def test_pyramid_writer_banded_bit_identical(tmp_path):
+    """Streaming band writer must produce bit-identical files to the
+    one-shot write_pyramid across dtypes, and clean up its disk spill
+    (VERDICT r1 #4: bounded-memory WSI output)."""
+    from mipheivit_tpu.slideio import PyramidWriter
+
+    rng = np.random.default_rng(7)
+    cases = [(np.uint8, 3, 301, 200), (np.uint16, 5, 97, 130),
+             (np.int32, 1, 64, 64), (np.float32, 2, 50, 70)]
+    for dtype, c, h, w in cases:
+        data = (rng.random((c, h, w)) * 200).astype(dtype)
+        a = tmp_path / f"a_{np.dtype(dtype).name}.tiff"
+        b = tmp_path / f"b_{np.dtype(dtype).name}.tiff"
+        write_pyramid(str(a), data, n_levels=3, tile_size=32)
+        with PyramidWriter(str(b), width=w, height=h, n_channels=c,
+                           dtype=dtype, n_levels=3, tile_size=32) as pw:
+            y = 0
+            while y < h:  # deliberately awkward band height
+                bh = min(37, h - y)
+                pw.write_band(data[:, y:y + bh])
+                y += bh
+        assert a.read_bytes() == b.read_bytes()
+        ts = TiffSlide(str(b))
+        back = ts.read_region((0, 0), 0, (w, h))
+        np.testing.assert_array_equal(np.moveaxis(back, -1, 0), data)
+        ts.close()
+    assert not [f for f in tmp_path.iterdir() if "spill" in f.name]
+
+
+def test_pyramid_writer_incomplete_raises(tmp_path):
+    from mipheivit_tpu.slideio import PyramidWriter
+
+    pw = PyramidWriter(str(tmp_path / "x.tiff"), width=10, height=20,
+                       n_channels=1, dtype=np.uint8, n_levels=1)
+    pw.write_band(np.zeros((1, 5, 10), np.uint8))
+    with pytest.raises(IOError):
+        pw.close()
