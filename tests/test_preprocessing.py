@@ -89,9 +89,19 @@ def test_mif_cleaning(wsi_pair, tmp_path):
     assert (p99 > 0).all()
     out_path = str(tmp_path / "clean.ome.tiff")
     apply_cleaning_wsi(reader, settings, 0, p99, out_path,
-                       ["AF", "CD31", "x", "y"], tile_size=128)
+                       ["AF", "CD31", "x", "y"], tile_size=128, band_rows=48)
     ts = TiffSlide(out_path)
     assert ts.n_channels == 4 and ts.dtype == np.uint8
+    # band-streamed output matches the whole-plane formula bit-for-bit
+    got = ts.read_region((0, 0), 0, ts.dimensions).astype(np.float32)
+    full = reader.read_region((0, 0), 0, reader.dimensions).astype(np.float32)
+    af_plane = full[..., :1]
+    lam = np.array([0.0, 0.5, 0.0, 0.0], np.float32)
+    bias = np.array([0.0, 2.0, 0.0, 0.0], np.float32)
+    clean = np.maximum(full - lam * af_plane + bias, 0.0)
+    want = (np.clip(np.log1p(clean / p99.astype(np.float32)), 0, 1)
+            * 255.0).astype(np.uint8)
+    np.testing.assert_array_equal(got.astype(np.uint8), want)
     ts.close()
     # math parity: subtraction formula
     tile = np.full((4, 4), 100.0)
@@ -99,22 +109,71 @@ def test_mif_cleaning(wsi_pair, tmp_path):
     np.testing.assert_allclose(af_subtract(tile, af, 0.5, 2.0), 72.0)
 
 
-def test_nuclei_segmentation_wsi(wsi_pair):
+def test_mif_cleaning_artifact_masking(wsi_pair, tmp_path):
+    """Pixels above the artifact threshold must not enter the histograms
+    (reference mif_cleaning.py:266-278)."""
+    from mif_cleaning.mif_cleaning import extract_histograms
+
+    paths, _ = wsi_pair
+    reader = SlideReader(paths["mif"], mode="IF")
+    base, _ = extract_histograms(reader, {}, af_channel=0, tile_size=128,
+                                 mask_thresh=-1)
+    # channel 3 as artifact channel with a tiny threshold kills most pixels
+    masked, _ = extract_histograms(reader, {}, af_channel=0, tile_size=128,
+                                   mask_thresh=-1, artifact_channel=3,
+                                   artifact_threshold=1.0)
+    assert masked.sum() < base.sum()
+    reader.close()
+
+
+def test_nuclei_segmentation_wsi(wsi_pair, tmp_path):
     from backends import classical_segment, expand_labels, find_boundaries
-    from wsi_nuclei_inference import segment_wsi
+    from wsi_nuclei_inference import segment_wsi, stream_labels_pyramid
 
     paths, _ = wsi_pair
     # DAPI-like channel: nuclei bright
     reader = SlideReader(paths["mif"], channel_idxs=[1], mode="IF")
     labels = segment_wsi(reader, classical_segment, tile_size=128, halo=32,
-                         dapi_channel=0, expansion_px=2.0)
-    reader.close()
+                         dapi_channel=0)
     n = labels.max()
     assert 2 <= n <= 10          # ~4 nuclei, tolerant to splits
     # sequential ids
     assert set(np.unique(labels)) == set(range(0, n + 1))
-    b = find_boundaries(labels)
-    assert b.max() == 1 and (b[labels == 0] == 0).all()
+    expanded = expand_labels(labels, 2.0)
+    b = find_boundaries(expanded)
+    assert b.max() == 1 and (b[expanded == 0] == 0).all()
+
+    # memmap scratch plane must match the in-RAM plane exactly
+    labels_mm = segment_wsi(reader, classical_segment, tile_size=128,
+                            halo=32, dapi_channel=0,
+                            scratch_path=str(tmp_path / "labels.raw"))
+    np.testing.assert_array_equal(np.asarray(labels_mm), labels)
+
+    # band-streamed pyramid == whole-plane expansion + boundaries
+    out = str(tmp_path / "nuclei.ome.tiff")
+    stream_labels_pyramid(labels_mm, out, mpp=0.5, expansion_px=2.0,
+                          band_rows=64)
+    ts = TiffSlide(out)
+    assert ts.n_channels == 2 and ts.dtype == np.int32
+    got = ts.read_region((0, 0), 0, ts.dimensions)
+    np.testing.assert_array_equal(got[..., 0], expanded)
+    np.testing.assert_array_equal(got[..., 1], b)
+    ts.close()
+    reader.close()
+
+
+def test_nuclei_segmentation_target_mpp(wsi_pair):
+    """Virtual rescale: segmenting at 2x the native mpp halves the plane."""
+    from backends import classical_segment
+    from wsi_nuclei_inference import segment_wsi
+
+    paths, _ = wsi_pair
+    reader = SlideReader(paths["mif"], channel_idxs=[1], mode="IF")
+    labels = segment_wsi(reader, classical_segment, tile_size=64, halo=16,
+                         dapi_channel=0, target_mpp=1.0)  # native mpp 0.5
+    reader.close()
+    assert labels.shape == (128, 128)
+    assert labels.max() >= 2
 
 
 def test_expand_labels_nearest():
@@ -189,3 +248,41 @@ def test_strip_foundation_script():
     assert "encoder.vit.blocks.0.attn.qkv.qkv.weight" not in out
     assert "encoder.vit.blocks.0.attn.qkv.lora_q.A" in out
     assert "decoder.convstream.convs.0.conv.weight" in out
+
+
+def test_registration_rigid_streaming(tmp_path, rng):
+    """Band-streamed rigid warp recovers a known translation and transfers
+    nuclei labels with the same warp (VERDICT r1 #9)."""
+    sys.path.insert(0, str(REPO / "preprocessings" / "registration"))
+    from registration import run_rigid
+
+    h = w = 256
+    pattern = rng.integers(0, 255, (h + 64, w + 64), dtype=np.uint8)
+    # fixed H&E shows the pattern at (0, 0); moving mIF at (+16, +12)
+    fixed = np.stack([pattern[:h, :w]] * 3)
+    moving = np.stack([pattern[12:12 + h, 16:16 + w]], 0)
+    nuclei = np.zeros((1, h, w), np.int32)
+    nuclei[0, 50:70, 50:70] = 5
+    f_path, m_path, n_path = (str(tmp_path / x) for x in
+                              ("fixed.tiff", "moving.tiff", "nuc.tiff"))
+    write_pyramid(f_path, fixed, n_levels=2, tile_size=64, mpp=0.5)
+    write_pyramid(m_path, moving, n_levels=2, tile_size=64, mpp=0.5)
+    write_pyramid(n_path, nuclei, n_levels=2, tile_size=64, mpp=0.5)
+
+    out = str(tmp_path / "reg.ome.tiff")
+    n_out = str(tmp_path / "reg_nuc.ome.tiff")
+    dx0, dy0 = run_rigid(f_path, m_path, out, n_path, n_out, band_rows=48)
+    # phase correlation should recover roughly (-16, -12)
+    assert abs(dx0 + 16) < 2 and abs(dy0 + 12) < 2
+    ts = TiffSlide(out)
+    assert ts.dimensions == (w, h)
+    got = ts.read_region((0, 0), 0, (w, h))[..., 0]
+    # interior matches the fixed-grid pattern (edges zero-padded)
+    np.testing.assert_array_equal(got[32:-32, 32:-32],
+                                  pattern[:h, :w][32:-32, 32:-32])
+    ts.close()
+    tn = TiffSlide(n_out)
+    assert tn.dtype == np.int32
+    lab = tn.read_region((0, 0), 0, (w, h))[..., 0]
+    assert (lab == 5).sum() == 400  # label block survives nearest transfer
+    tn.close()
