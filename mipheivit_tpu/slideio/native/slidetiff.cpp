@@ -18,6 +18,7 @@
 // Exposed as a C ABI consumed via ctypes (no pybind11 in this image).
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -159,6 +160,45 @@ bool build_structure(Slide *s) {
     return true;
   }
 
+  // QPTIFF-style page-area grouping (reference: slidevips-python/slidevips/
+  // read_pyramid.py:59-88): vendor mIF layout with one single-sample page
+  // per channel per level, channel-major, and multi-sample RGB overview/
+  // label pages interspersed. Group single-sample pages by pixel area;
+  // levels are the equal-count groups sorted by area descending.
+  {
+    std::vector<std::pair<uint64_t, std::vector<const IfdMeta *>>> groups;
+    for (auto &m : tops) {
+      if (m.spp != 1) continue;
+      uint64_t area = (uint64_t)m.width * m.height;
+      bool found = false;
+      for (auto &g : groups) {
+        if (g.first == area) { g.second.push_back(&m); found = true; break; }
+      }
+      if (!found) groups.push_back({area, {&m}});
+    }
+    std::sort(groups.begin(), groups.end(),
+              [](const std::pair<uint64_t, std::vector<const IfdMeta *>> &a,
+                 const std::pair<uint64_t, std::vector<const IfdMeta *>> &b) {
+                return a.first > b.first;
+              });
+    if (groups.size() > 1 && groups[0].second.size() > 1) {
+      size_t nb = groups[0].second.size();
+      s->channels = (uint16_t)nb;
+      s->bits = groups[0].second[0]->bits;
+      s->sample_format = groups[0].second[0]->fmt;
+      for (auto &g : groups) {
+        if (g.second.size() != nb) continue;  // overview/label singletons
+        LevelInfo li;
+        li.interleaved = false;
+        for (auto *m : g.second) li.ifd_offsets.push_back(m->offset);
+        li.width = g.second[0]->width;
+        li.height = g.second[0]->height;
+        s->levels.push_back(std::move(li));
+      }
+      if (!s->levels.empty()) return true;
+    }
+  }
+
   // interleaved: one page per level
   s->channels = full[0]->spp;
   {
@@ -169,20 +209,29 @@ bool build_structure(Slide *s) {
     li.height = full[0]->height;
     s->levels.push_back(std::move(li));
   }
-  // collect level pages: SubIFDs of page 0, plus smaller full/reduced pages
+  // collect level pages: SubIFDs of page 0, plus smaller full/reduced pages.
+  // Vendor flat pyramids (SVS, NDPI) intersperse label/macro photos as
+  // extra pages; those are NOT reduced levels — reject any page whose
+  // aspect ratio strays from level 0 (openslide uses vendor tags for this;
+  // the aspect test needs none and catches both formats' extras).
+  const double aspect0 = (double)full[0]->width / (double)full[0]->height;
+  auto is_level_page = [&](const IfdMeta &m) {
+    if (m.spp != s->channels || m.width >= full[0]->width) return false;
+    double aspect = (double)m.width / (double)m.height;
+    return std::abs(aspect - aspect0) <= 0.05 * aspect0;
+  };
   std::vector<IfdMeta> level_pages;
   for (uint64_t off : full[0]->subifds) {
     if (!TIFFSetSubDirectory(t, off)) continue;
     IfdMeta lm;
-    if (read_ifd_meta(t, &lm)) level_pages.push_back(std::move(lm));
+    if (read_ifd_meta(t, &lm) && is_level_page(lm))
+      level_pages.push_back(std::move(lm));
   }
   for (size_t i = 1; i < full.size(); ++i) {
-    if (full[i]->spp == s->channels &&
-        full[i]->width < full[0]->width)
-      level_pages.push_back(*full[i]);
+    if (is_level_page(*full[i])) level_pages.push_back(*full[i]);
   }
   for (auto *m : reduced) {
-    if (m->spp == s->channels) level_pages.push_back(*m);
+    if (is_level_page(*m)) level_pages.push_back(*m);
   }
   std::sort(level_pages.begin(), level_pages.end(),
             [](const IfdMeta &a, const IfdMeta &b) { return a.width > b.width; });

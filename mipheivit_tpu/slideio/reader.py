@@ -86,6 +86,17 @@ class SlideReader:
                 break
             except Exception:
                 if not self.reiter_fetch:
+                    if self.slide_path.lower().endswith(".ndpi"):
+                        # NDPI's single-strip restart-marker JPEG encoding
+                        # is beyond stock libtiff (reference opens it via
+                        # openslide — read_pyramid.py:31-40); standard-TIFF
+                        # NDPI files read fine.
+                        raise IOError(
+                            f"read failed on NDPI slide {self.slide_path}: "
+                            "this file likely uses NDPI's non-standard "
+                            "JPEG strip layout — convert it once with "
+                            "preprocessings/convert_to_ometiff.py (or "
+                            "openslide/vips) and use the OME-TIFF.")
                     raise
                 attempt += 1
                 if self.max_retries and attempt >= self.max_retries:

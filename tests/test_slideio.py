@@ -177,3 +177,50 @@ def test_pyramid_writer_incomplete_raises(tmp_path):
     pw.write_band(np.zeros((1, 5, 10), np.uint8))
     with pytest.raises(IOError):
         pw.close()
+
+
+def _save_multipage(path, pages):
+    """PIL multipage TIFF: synthesizes vendor page layouts (QPTIFF page
+    grouping, SVS/NDPI flat pyramids with label/macro extras)."""
+    from PIL import Image
+
+    imgs = [Image.fromarray(p) for p in pages]
+    imgs[0].save(str(path), format="TIFF", save_all=True,
+                 append_images=imgs[1:])
+
+
+def test_qptiff_page_area_grouping(tmp_path, rng):
+    """QPTIFF-style layout: single-sample pages grouped by area into
+    channel-joined levels; RGB thumbnail pages skipped (reference:
+    slidevips read_pyramid.py:59-88)."""
+    c0 = [rng.integers(0, 255, (120, 100), dtype=np.uint8) for _ in range(3)]
+    c1 = [a[::2, ::2].copy() for a in c0]
+    thumb = rng.integers(0, 255, (30, 25, 3), dtype=np.uint8)
+    path = tmp_path / "fake.qptiff"
+    _save_multipage(path, c0 + [thumb] + c1)
+    ts = TiffSlide(str(path))
+    assert ts.n_channels == 3
+    assert ts.level_dimensions == [(100, 120), (50, 60)]
+    r = ts.read_region((10, 10), 0, (50, 50))
+    np.testing.assert_array_equal(
+        r, np.stack([a[10:60, 10:60] for a in c0], -1))
+    r1 = ts.read_region((0, 0), 1, (50, 60))
+    np.testing.assert_array_equal(r1, np.stack([a[:60, :50] for a in c1], -1))
+    ts.close()
+
+
+def test_flat_pyramid_skips_label_macro_pages(tmp_path, rng):
+    """SVS/NDPI vendor pyramids intersperse label/macro photos; pages whose
+    aspect ratio differs from level 0 must not become pyramid levels."""
+    lvl0 = rng.integers(0, 255, (128, 256, 3), dtype=np.uint8)
+    lvl1 = lvl0[::2, ::2].copy()
+    label = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)   # square
+    macro = rng.integers(0, 255, (100, 120, 3), dtype=np.uint8)
+    path = tmp_path / "fake_svs.tiff"
+    _save_multipage(path, [lvl0, lvl1, label, macro])
+    ts = TiffSlide(str(path))
+    assert ts.n_channels == 3
+    assert ts.level_dimensions == [(256, 128), (128, 64)]
+    np.testing.assert_array_equal(
+        ts.read_region((0, 0), 1, (128, 64)), lvl1)
+    ts.close()
