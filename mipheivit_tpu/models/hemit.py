@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.deconv import TorchConvTranspose
 from .swin import SwinConfig, SwinTransformer
 
 
@@ -71,9 +72,10 @@ class GatedCrossAttention(nn.Module):
         s = nn.Conv(c, (1, 1), name="swinT_transform",
                     dtype=cnn_feat.dtype)(swin_feat)
         for i in range(self.upsample_factor):
-            # torch ConvTranspose2d(k4,s2,p1) doubles the size; flax 'SAME'
-            s = nn.ConvTranspose(c, (4, 4), strides=(2, 2), padding="SAME",
-                                 name=f"up{i}_deconv", dtype=s.dtype)(s)
+            # torch ConvTranspose2d(k4,s2,p1): exact (incl. edges) via
+            # TorchConvTranspose (VERDICT r1 #7)
+            s = TorchConvTranspose(c, (4, 4), strides=(2, 2), padding=1,
+                                   name=f"up{i}_deconv", dtype=s.dtype)(s)
             s = nn.relu(s)
             s = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)),
                         name=f"up{i}_conv", dtype=s.dtype)(s)
@@ -159,9 +161,11 @@ class ResnetGeneratorSwinT(nn.Module):
         for i, feat in enumerate(reversed(downs)):
             h = jnp.concatenate([h, feat], axis=-1)
             mult = 2 ** (3 - i)
-            h = nn.ConvTranspose(int(ngf * mult / 2), (3, 3), strides=(2, 2),
-                                 padding="SAME",
-                                 name=f"up{i}_deconv", dtype=h.dtype)(h)
+            # torch ConvTranspose2d(k3,s2,p1,op1): asymmetric pad (1,2)
+            h = TorchConvTranspose(int(ngf * mult / 2), (3, 3),
+                                   strides=(2, 2), padding=1,
+                                   output_padding=1,
+                                   name=f"up{i}_deconv", dtype=h.dtype)(h)
             h = nn.relu(_Norm(self.norm, name=f"up{i}_norm")(h, train))
 
         h = _rpad(h, 3)
@@ -195,9 +199,10 @@ class ResnetGenerator(nn.Module):
                                  name=f"res{i}")(h, train)
         for i in range(2):
             mult = 2 ** (2 - i)
-            h = nn.ConvTranspose(int(self.ngf * mult / 2), (3, 3),
-                                 strides=(2, 2), padding="SAME",
-                                 name=f"up{i}", dtype=h.dtype)(h)
+            h = TorchConvTranspose(int(self.ngf * mult / 2), (3, 3),
+                                   strides=(2, 2), padding=1,
+                                   output_padding=1,
+                                   name=f"up{i}", dtype=h.dtype)(h)
             h = nn.relu(_Norm(self.norm, name=f"up{i}_norm")(h, train))
         h = _rpad(h, 3)
         h = nn.Conv(self.out_channels, (7, 7), padding="VALID",
@@ -228,14 +233,13 @@ class UnetGenerator(nn.Module):
             h = nn.leaky_relu(h, 0.2)
         for i, c in enumerate(reversed(chans[:-1])):
             h = nn.relu(h)
-            h = nn.ConvTranspose(c, (4, 4), strides=(2, 2), padding="SAME",
-                                 name=f"up{i}", dtype=h.dtype)(h)
+            h = TorchConvTranspose(c, (4, 4), strides=(2, 2), padding=1,
+                                   name=f"up{i}", dtype=h.dtype)(h)
             h = _Norm(self.norm, name=f"up{i}_norm")(h, train)
             h = jnp.concatenate([h, skips[self.num_downs - 2 - i]], axis=-1)
         h = nn.relu(h)
-        h = nn.ConvTranspose(self.out_channels, (4, 4), strides=(2, 2),
-                             padding="SAME", name="up_final",
-                             dtype=h.dtype)(h)
+        h = TorchConvTranspose(self.out_channels, (4, 4), strides=(2, 2),
+                               padding=1, name="up_final", dtype=h.dtype)(h)
         return jnp.tanh(h).astype(jnp.float32)
 
 

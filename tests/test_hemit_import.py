@@ -91,3 +91,31 @@ def test_hemit_import_roundtrip(rng):
     out = model.apply({"params": p2, "batch_stats": s2},
                       jnp.zeros((1, 64, 64, 3)), train=False)
     assert out.shape == (1, 64, 64, 3)
+
+
+def test_torch_deconv_exact_parity(rng):
+    """TorchConvTranspose matches torch ConvTranspose2d bit-for-bit incl.
+    edges for every HEMIT/pix2pix deconv config (VERDICT r1 #7):
+    k4/s2/p1 (UNet, cross-attention upsample) and k3/s2/p1/op1 (resnet
+    generators' asymmetric-pad case that flax 'SAME' gets wrong)."""
+    torch = pytest.importorskip("torch")
+    from mipheivit_tpu.ops.deconv import TorchConvTranspose
+
+    for (k, s, p, op) in [(4, 2, 1, 0), (3, 2, 1, 1), (2, 2, 0, 0)]:
+        x = rng.standard_normal((2, 9, 11, 5)).astype(np.float32)
+        tconv = torch.nn.ConvTranspose2d(5, 7, k, stride=s, padding=p,
+                                         output_padding=op)
+        with torch.no_grad():
+            ref = tconv(torch.from_numpy(x).permute(0, 3, 1, 2)) \
+                .permute(0, 2, 3, 1).numpy()
+        w = tconv.weight.detach().numpy()    # [in, out, kh, kw]
+        kernel = np.ascontiguousarray(
+            w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
+        mod = TorchConvTranspose(7, (k, k), strides=(s, s), padding=p,
+                                 output_padding=op)
+        got = np.asarray(mod.apply(
+            {"params": {"kernel": jnp.asarray(kernel),
+                        "bias": jnp.asarray(tconv.bias.detach().numpy())}},
+            jnp.asarray(x)))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-6)
