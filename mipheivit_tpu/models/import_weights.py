@@ -585,3 +585,107 @@ def swin_params_from_torch(state, cfg, prefix: str = "") -> Dict:
             params[f"layers{si}_blocks{bi}"] = blk
     params["norm"] = {"scale": get("norm.weight"), "bias": get("norm.bias")}
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# SMP UnetMultiHeads import (reference: src/generators/smp_unet.py:264-345,
+# timm convnext encoder under smp's TimmUniversalEncoder)
+
+
+def _ln_p(state, base):
+    return {"scale": np.asarray(state[f"{base}.weight"]),
+            "bias": np.asarray(state[f"{base}.bias"])}
+
+
+def _dense_p(state, base):
+    return {"kernel": np.ascontiguousarray(
+                np.asarray(state[f"{base}.weight"]).T),
+            "bias": np.asarray(state[f"{base}.bias"])}
+
+
+def convnext_params_from_timm(state, prefix: str = "encoder.model.") -> Dict:
+    """timm 1.x convnext (the `tu-convnext_large` encoder the reference
+    trains — configs/default_configs/convnext.yaml:19) -> flax ConvNeXt
+    trunk params, key for key. Handles both the FeatureListNet-flattened
+    layout smp saves (``stages_0.blocks...``) and plain ``stages.0.``, and
+    both block naming generations (conv_dw/mlp.fcN vs dwconv/pwconvN)."""
+    enc: Dict = {
+        "stem_conv": _conv_p(state, f"{prefix}stem.0"),
+        "stem_norm": _ln_p(state, f"{prefix}stem.1"),
+    }
+    for s in range(4):
+        sp = None
+        for cand in (f"{prefix}stages_{s}.", f"{prefix}stages.{s}."):
+            if (f"{cand}blocks.0.norm.weight" in state):
+                sp = cand
+                break
+        if sp is None:
+            raise KeyError(f"convnext stage {s} not found under {prefix}")
+        if s > 0:
+            enc[f"down{s}_norm"] = _ln_p(state, f"{sp}downsample.0")
+            enc[f"down{s}_conv"] = _conv_p(state, f"{sp}downsample.1")
+        b = 0
+        while f"{sp}blocks.{b}.norm.weight" in state:
+            bp = f"{sp}blocks.{b}."
+            dw = "conv_dw" if f"{bp}conv_dw.weight" in state else "dwconv"
+            fc1 = "mlp.fc1" if f"{bp}mlp.fc1.weight" in state else "pwconv1"
+            fc2 = "mlp.fc2" if f"{bp}mlp.fc2.weight" in state else "pwconv2"
+            enc[f"stage{s}_{b}"] = {
+                "dwconv": _conv_p(state, bp + dw),
+                "norm": _ln_p(state, bp + "norm"),
+                "pwconv1": _dense_p(state, bp + fc1),
+                "pwconv2": _dense_p(state, bp + fc2),
+                "gamma": np.asarray(state[f"{bp}gamma"]),
+            }
+            b += 1
+    return enc
+
+
+def _seg_head(state, base):
+    """reference unet.py SegmentationHead: [0]=AttentionBlock|Identity,
+    [1]=conv."""
+    p = {"conv": _conv_p(state, f"{base}.1")}
+    s = {}
+    if f"{base}.0.psi.0.weight" in state:
+        att = {"psi_conv1": _conv_p(state, f"{base}.0.psi.0"),
+               "psi_conv2": _conv_p(state, f"{base}.0.psi.3")}
+        bnp, bns = _bn(state, f"{base}.0.psi.1")
+        att["psi_bn"] = bnp
+        p["attention"] = att
+        s["attention"] = {"psi_bn": bns}
+    return p, s
+
+
+def smp_unet_from_torch(state: Dict[str, np.ndarray],
+                        n_decoder_blocks: int = 5) -> Tuple[Dict, Dict]:
+    """Full UnetMultiHeads(/FG) checkpoint -> (params, batch_stats).
+
+    Covers: timm-convnext encoder (key for key), the reference's
+    InterpDecoderBlock decoder (conv1/conv2 Conv-BN pairs,
+    smp_unet.py:13-50), per-marker attention-gated heads, and the optional
+    shared-decoder foreground head (UnetMultiHeadsFG:345-373)."""
+    params: Dict = {"encoder": convnext_params_from_timm(state)}
+    stats: Dict = {}
+    for i in range(n_decoder_blocks):
+        base = f"decoder.blocks.{i}"
+        blk_p, blk_s = {}, {}
+        for name in ("conv1", "conv2"):
+            conv = _conv_p(state, f"{base}.{name}.0", bias=False)
+            bnp, bns = _bn(state, f"{base}.{name}.1")
+            blk_p[name] = {"conv": conv, "bn": bnp}
+            blk_s[name] = {"bn": bns}
+        params[f"decoder_block_{i}"] = blk_p
+        stats[f"decoder_block_{i}"] = blk_s
+    k = 0
+    while f"segmentation_head_{k}.1.weight" in state:
+        p, s = _seg_head(state, f"segmentation_head_{k}")
+        params[f"segmentation_head_{k}"] = p
+        if s:
+            stats[f"segmentation_head_{k}"] = s
+        k += 1
+    if "foreground_head.1.weight" in state:
+        p, s = _seg_head(state, "foreground_head")
+        params["foreground_head"] = p
+        if s:
+            stats["foreground_head"] = s
+    return params, stats

@@ -72,6 +72,10 @@ class UnetMultiHeads(nn.Module):
     head_use_attention: bool = True
     activation: str = "tanh"
     dtype: str = "float32"
+    # convnext trunk size override (None -> convnext_large); import/oracle
+    # tests use a tiny trunk
+    encoder_dims: Sequence[int] = None
+    encoder_depths: Sequence[int] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -80,7 +84,11 @@ class UnetMultiHeads(nn.Module):
             feats = ResNet50(num_stages=4, name="encoder")(x, train)
             features = [x] + feats   # [in, 64, 256, 512, 1024, 2048]
         elif "convnext" in self.encoder_name:
-            feats = ConvNeXt(name="encoder")(x, train)
+            kw = {}
+            if self.encoder_dims is not None:
+                kw = {"dims": tuple(self.encoder_dims),
+                      "depths": tuple(self.encoder_depths)}
+            feats = ConvNeXt(name="encoder", **kw)(x, train)
             features = [x] + feats   # strides 1, 4, 8, 16, 32
         else:
             raise NotImplementedError(self.encoder_name)
