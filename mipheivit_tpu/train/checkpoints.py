@@ -16,8 +16,9 @@ Two formats:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
+import jax
 import numpy as np
 
 from ..models.vit import ViTConfig
@@ -182,3 +183,37 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     if not steps:
         return None
     return str(max(steps)[1])
+
+
+def flax_state_dict(params: Dict, batch_stats: Optional[Dict] = None
+                    ) -> Dict[str, np.ndarray]:
+    """Flatten a flax variable tree to dotted-key numpy arrays — the
+    generator-export format for models without a reference torch layout
+    (reference exports every generator, src/callbacks.py:121-149; MIPHEI
+    keeps its reference-layout export via mipheivit_state_dict)."""
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = ".".join(str(getattr(k, "key", k)) for k in path)
+        flat[f"params.{key}"] = np.asarray(leaf)
+    if batch_stats:
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+                batch_stats)[0]:
+            key = ".".join(str(getattr(k, "key", k)) for k in path)
+            flat[f"batch_stats.{key}"] = np.asarray(leaf)
+    return flat
+
+
+def load_flax_state_dict(state_dict: Dict[str, np.ndarray]
+                         ) -> Tuple[Dict, Dict]:
+    """Inverse of flax_state_dict: dotted keys -> (params, batch_stats)."""
+    params: Dict = {}
+    stats: Dict = {}
+    for key, value in state_dict.items():
+        coll, _, rest = key.partition(".")
+        tree = params if coll == "params" else stats
+        parts = rest.split(".")
+        node = tree
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = np.asarray(value)
+    return params, stats

@@ -38,7 +38,12 @@ from ..models.discriminator import DiscriminatorPatch
 from ..parallel import make_data_mesh, replicated
 from ..utils import MetricsLogger, save_image_grid
 from .cell_loss import build_cell_loss
-from .checkpoints import mipheivit_state_dict, save_safetensors, save_train_state
+from .checkpoints import (
+    flax_state_dict,
+    mipheivit_state_dict,
+    save_safetensors,
+    save_train_state,
+)
 from .losses import build_reconstruction_loss
 from .optim import build_discriminator_optimizer, build_generator_optimizer
 from .schedule import scaled_lr
@@ -270,8 +275,14 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
         params = jax.tree.map(np.asarray, state.gen_params)
         stats = jax.tree.map(np.asarray, state.gen_batch_stats)
         if cfg.model.model_name.startswith("myvitmatte"):
+            # reference-format export (HF-compatible key layout)
             sd = mipheivit_state_dict(params, stats, model.vit_cfg, nc_out)
-            save_safetensors(sd, str(logdir / f"{tag}.safetensors"))
+        else:
+            # every generator exports a checkpoint (reference
+            # src/callbacks.py:121-149 saves each generator's state dict);
+            # non-MIPHEI models use the flattened flax layout
+            sd = flax_state_dict(params, stats)
+        save_safetensors(sd, str(logdir / f"{tag}.safetensors"))
         save_train_state(state, str(logdir / "orbax"), step=int(state.step))
 
     global_step = int(state.step)

@@ -259,3 +259,22 @@ def test_wsi_inference_mesh_matches_single_device(inference_setup, tmp_path):
     b = tm.read_region((0, 0), 0, tm.dimensions)
     np.testing.assert_array_equal(a, b)
     ts.close(); tm.close()
+
+
+def test_flax_state_dict_roundtrip(tmp_path, rng):
+    """Non-MIPHEI generator export format: flattened flax safetensors
+    roundtrip (reference exports every generator — callbacks.py:121-149)."""
+    from mipheivit_tpu.train.checkpoints import (
+        flax_state_dict, load_flax_state_dict)
+    from safetensors.numpy import load_file
+
+    params = {"enc": {"w": rng.standard_normal((3, 4)).astype(np.float32)},
+              "head": {"b": np.zeros(7, np.float32)}}
+    stats = {"bn": {"mean": np.ones(7, np.float32)}}
+    sd = flax_state_dict(params, stats)
+    path = str(tmp_path / "gen.safetensors")
+    save_safetensors(sd, path)
+    back = load_file(path)
+    p2, s2 = load_flax_state_dict(back)
+    jax.tree.map(np.testing.assert_array_equal, params, p2)
+    jax.tree.map(np.testing.assert_array_equal, stats, s2)

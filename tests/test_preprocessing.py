@@ -286,3 +286,43 @@ def test_registration_rigid_streaming(tmp_path, rng):
     lab = tn.read_region((0, 0), 0, (w, h))[..., 0]
     assert (lab == 5).sum() == 400  # label block survives nearest transfer
     tn.close()
+
+
+def test_create_folds_script(tmp_path, rng):
+    sys.path.insert(0, str(REPO / "scripts"))
+    from create_folds import extract_folds, sample_per_slide
+
+    df = pd.DataFrame({"in_slide_name": ["s0"] * 40 + ["s1"] * 20,
+                       "x": np.arange(60)})
+    sample = sample_per_slide(df, 0.5, seed=0)
+    assert len(sample) == 30
+    folds = extract_folds(sample, 3, np.random.default_rng(0))
+    assert sum(len(f) for f in folds) == 30
+    # disjoint folds covering the sample
+    all_idx = np.concatenate([f.index.values for f in folds])
+    assert len(np.unique(all_idx)) == 30
+    # each fold is sorted back to original order (reference parity)
+    for f in folds:
+        assert (np.diff(f.index.values) > 0).all()
+
+
+def test_scale_slides_script(wsi_pair, tmp_path):
+    sys.path.insert(0, str(REPO / "scripts"))
+    from scale_slides import scale_slide
+
+    paths, _ = wsi_pair            # written with mpp=0.5
+    out = str(tmp_path / "scaled.ome.tiff")
+    scale_slide(paths["mif"], out, target_mpp=1.0, band_rows=64, n_levels=2)
+    ts = TiffSlide(out)
+    assert ts.level_dimensions[0] == (128, 128)
+    assert abs(ts.mpp - 1.0) < 1e-6
+    assert ts.n_channels == 4
+    # content is the area-downsampled original
+    import cv2
+    reader = SlideReader(paths["mif"], mode="IF")
+    full = reader.read_region((0, 0), 0, (256, 256))
+    want = cv2.resize(full, (128, 128), interpolation=cv2.INTER_AREA)
+    got = ts.read_region((0, 0), 0, (128, 128))
+    # band seams may deviate by a hair on interpolation boundaries
+    assert (np.abs(got.astype(int) - want.astype(int)) <= 1).mean() > 0.999
+    ts.close(); reader.close()
