@@ -1,0 +1,153 @@
+"""Overlap-averaged flow-field WSI segmentation (CellPose-style).
+
+Reference: preprocessings/nuclei_segmentation/nuclei_dapi_wsi_cellpose/
+cellpose_wsi_inference.py:161-249 — tile seams are avoided by averaging the
+*flow fields*, not the masks: overlapping tiles accumulate the 2-channel
+flow (dp), the cell probability, and a coverage count into an HDF5 spill;
+masks are then computed per non-overlapping chunk from the averaged fields
+with an overlap halo, keeping instances owned by the chunk interior. This
+is strictly better at borders than disjoint-tile segmentation + halo
+ownership alone (a nucleus split by a tile edge gets one coherent flow).
+
+Here the spill is float16/uint8 np.memmaps (same bounded-RAM property as
+the reference's HDF5), the backend is pluggable — ``cellpose_flow_factory``
+adapts CellPose when installed; tests drive the plumbing with synthetic
+flow/mask functions — and the labels plane reuses the memmap + banded
+relabel machinery from wsi_nuclei_inference.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+from wsi_nuclei_inference import _banded_unique, _read_scaled  # noqa: E402
+
+
+def flow_segment_wsi(reader, flow_fn, compute_masks_fn,
+                     tile_size: int = 2048, overlap: int = 128,
+                     dapi_channel: int = 0, scratch_dir: str = None,
+                     target_mpp: float = None,
+                     min_cellprob_sum: float = 10.0) -> np.ndarray:
+    """Two-pass flow segmentation.
+
+    ``flow_fn(tile_hw) -> (dp [2,h,w] float, cellprob [h,w] float)``;
+    ``compute_masks_fn(dp, cellprob) -> labels [h,w] int``.
+    Returns the sequentially relabeled int32 plane (np.memmap in
+    ``scratch_dir``)."""
+    w, h = reader.dimensions
+    scale = 1.0
+    if target_mpp and reader.mpp:
+        scale = reader.mpp / float(target_mpp)
+    vw, vh = max(int(round(w * scale)), 1), max(int(round(h * scale)), 1)
+
+    own_scratch = scratch_dir is None
+    scratch = Path(scratch_dir or tempfile.mkdtemp(prefix="flowseg_"))
+    scratch.mkdir(parents=True, exist_ok=True)
+    dp = np.memmap(scratch / "dp.f16", np.float16, "w+", shape=(2, vh, vw))
+    prob = np.memmap(scratch / "prob.f16", np.float16, "w+", shape=(vh, vw))
+    count = np.memmap(scratch / "count.u8", np.uint8, "w+", shape=(vh, vw))
+
+    # ---- pass 1: accumulate flows over the overlapping tile grid --------
+    stride = tile_size - overlap
+    for ty in range(0, vh, stride):
+        for tx in range(0, vw, stride):
+            tw = min(tile_size, vw - tx)
+            th = min(tile_size, vh - ty)
+            tile = _read_scaled(reader, tx, ty, tw, th, scale)
+            tile_dp, tile_prob = flow_fn(tile[..., dapi_channel])
+            dp[:, ty:ty + th, tx:tx + tw] += tile_dp[:, :th, :tw].astype(
+                np.float16)
+            prob[ty:ty + th, tx:tx + tw] += tile_prob[:th, :tw].astype(
+                np.float16)
+            count[ty:ty + th, tx:tx + tw] += 1
+
+    # ---- pass 2: masks from averaged fields, chunk + halo ---------------
+    labels = np.memmap(scratch / "labels.i32", np.int32, "w+",
+                       shape=(vh, vw))
+    next_id = 0
+    for ty in range(0, vh, tile_size):
+        for tx in range(0, vw, tile_size):
+            x0, y0 = max(tx - overlap, 0), max(ty - overlap, 0)
+            x1 = min(tx + tile_size + overlap, vw)
+            y1 = min(ty + tile_size + overlap, vh)
+            n = np.maximum(count[y0:y1, x0:x1].astype(np.float32), 1.0)
+            chunk_prob = prob[y0:y1, x0:x1].astype(np.float32) / n
+            if chunk_prob.sum() < min_cellprob_sum:  # reference :249
+                continue
+            chunk_dp = dp[:, y0:y1, x0:x1].astype(np.float32) / n
+            tile_labels = np.asarray(
+                compute_masks_fn(chunk_dp, chunk_prob), np.int32)
+
+            core = np.zeros_like(tile_labels, bool)
+            core[ty - y0: min(ty + tile_size, vh) - y0,
+                 tx - x0: min(tx + tile_size, vw) - x0] = True
+            ids = np.unique(tile_labels[tile_labels > 0])
+            keep = [lab for lab in ids
+                    if (tile_labels == lab)[core].sum() * 2
+                    >= (tile_labels == lab).sum()]
+            if not keep:
+                continue
+            remap = np.zeros(int(tile_labels.max()) + 1, np.int32)
+            for j, lab in enumerate(keep):
+                remap[lab] = next_id + j + 1
+            next_id += len(keep)
+            owned = remap[tile_labels]
+            region = labels[y0:y1, x0:x1]
+            region[owned > 0] = owned[owned > 0]
+            labels[y0:y1, x0:x1] = region
+
+    uniq = _banded_unique(labels)
+    lut = np.zeros(next_id + 1, np.int32)
+    lut[uniq] = np.arange(1, len(uniq) + 1, dtype=np.int32)
+    for y in range(0, vh, 4096):
+        labels[y:y + 4096] = lut[np.asarray(labels[y:y + 4096])]
+
+    for name in ("dp.f16", "prob.f16", "count.u8"):
+        (scratch / name).unlink(missing_ok=True)
+    if own_scratch:
+        # caller gets the open memmap; directory removed when it is closed
+        # is not possible portably, so leave labels.i32 and note the path
+        labels.cleanup_dir = str(scratch)  # type: ignore[attr-defined]
+    return labels
+
+
+def cleanup_flow_scratch(labels) -> None:
+    path = getattr(labels, "cleanup_dir", None)
+    del labels
+    if path:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def cellpose_flow_factory(pretrained_model: str = None,
+                          x01: float = 0.0, x99: float = 0.65):
+    """CellPose adapter (reference :135-209): ``flow_fn`` runs
+    model.eval(compute_masks=False) on the normalized DAPI tile and returns
+    (dp, cellprob); ``compute_masks_fn`` follows the averaged flows."""
+    from cellpose import dynamics, models  # optional dependency
+
+    if pretrained_model:
+        model = models.CellposeModel(pretrained_model=pretrained_model)
+    else:
+        model = models.Cellpose(model_type="nuclei")
+
+    def normalize99(x):
+        lo, hi = np.quantile(x, x01), np.quantile(x, x99)
+        return np.clip((x - lo) / max(hi - lo, 1e-6), 0, 1)
+
+    def flow_fn(dapi):
+        x = normalize99(dapi.astype(np.float32) / 255.0)[..., None]
+        _, flows, _ = model.eval([x], channels=[0, 0],
+                                 diameter=getattr(model, "diam_labels", None),
+                                 normalize=False, compute_masks=False)
+        return np.squeeze(flows[0][1]), np.squeeze(flows[0][2])
+
+    def compute_masks_fn(dp, cellprob):
+        masks = dynamics.compute_masks(dp, cellprob,
+                                       cellprob_threshold=0.0)[0]
+        return masks
+
+    return flow_fn, compute_masks_fn

@@ -173,14 +173,28 @@ def main():
     parser.add_argument("--scratch_path", default=None,
                         help="disk-backed labels plane (default: next to "
                              "out_path)")
+    parser.add_argument("--flow_averaging", action="store_true",
+                        help="CellPose flow-field overlap averaging "
+                             "(reference cellpose_wsi_inference.py:161-249)"
+                             " — requires the cellpose backend")
     args = parser.parse_args()
 
     reader = SlideReader(args.slide_path, mode="IF")
-    segment_fn = get_backend(args.backend)
     scratch = args.scratch_path or (args.out_path + ".labels.raw")
-    labels = segment_wsi(reader, segment_fn, args.tile_size, args.halo,
-                         args.dapi_channel, scratch_path=scratch,
-                         target_mpp=args.target_mpp or None)
+    if args.flow_averaging:
+        from flow_wsi import cellpose_flow_factory, flow_segment_wsi
+
+        flow_fn, masks_fn = cellpose_flow_factory()
+        labels = flow_segment_wsi(
+            reader, flow_fn, masks_fn, tile_size=args.tile_size,
+            overlap=args.halo, dapi_channel=args.dapi_channel,
+            scratch_dir=str(Path(scratch).parent / "flow_scratch"),
+            target_mpp=args.target_mpp or None)
+    else:
+        segment_fn = get_backend(args.backend)
+        labels = segment_wsi(reader, segment_fn, args.tile_size, args.halo,
+                             args.dapi_channel, scratch_path=scratch,
+                             target_mpp=args.target_mpp or None)
     out_mpp = (args.target_mpp or reader.mpp) if reader.mpp else 0.0
     stream_labels_pyramid(labels, args.out_path, out_mpp, args.expansion_px)
     n = int(labels.max())

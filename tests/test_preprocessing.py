@@ -326,3 +326,44 @@ def test_scale_slides_script(wsi_pair, tmp_path):
     # band seams may deviate by a hair on interpolation boundaries
     assert (np.abs(got.astype(int) - want.astype(int)) <= 1).mean() > 0.999
     ts.close(); reader.close()
+
+
+def test_flow_segmentation_overlap_averaging(wsi_pair, tmp_path):
+    """Flow-field averaging plumbing: with a deterministic local flow_fn,
+    overlapping-tile accumulation averages to the single-pass field, so
+    small-tile segmentation must equal whole-plane segmentation
+    (reference cellpose_wsi_inference.py:161-249)."""
+    import cv2
+    from flow_wsi import flow_segment_wsi
+
+    paths, _ = wsi_pair
+    reader = SlideReader(paths["mif"], channel_idxs=[1], mode="IF")
+
+    def flow_fn(dapi):
+        x = dapi.astype(np.float32) / 255.0
+        gy, gx = np.gradient(cv2.GaussianBlur(x, (5, 5), 2.0))
+        return np.stack([gy, gx]), x
+
+    def compute_masks_fn(dp, cellprob):
+        binary = (cellprob > 0.5).astype(np.uint8)
+        _, labels = cv2.connectedComponents(binary)
+        return labels
+
+    small = flow_segment_wsi(reader, flow_fn, compute_masks_fn,
+                             tile_size=96, overlap=32, dapi_channel=0,
+                             scratch_dir=str(tmp_path / "s1"),
+                             min_cellprob_sum=1.0)
+    whole = flow_segment_wsi(reader, flow_fn, compute_masks_fn,
+                             tile_size=512, overlap=32, dapi_channel=0,
+                             scratch_dir=str(tmp_path / "s2"),
+                             min_cellprob_sum=1.0)
+    reader.close()
+    a, b = np.asarray(small), np.asarray(whole)
+    assert a.max() == b.max() == 4          # the 4 synthetic nuclei
+    # identical support per instance (ids may be ordered differently)
+    np.testing.assert_array_equal(a > 0, b > 0)
+    for lab in range(1, a.max() + 1):
+        mask = a == lab
+        partner = np.unique(b[mask])
+        assert len(partner) == 1            # one-to-one instance match
+        np.testing.assert_array_equal(mask, b == partner[0])
