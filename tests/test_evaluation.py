@@ -177,3 +177,56 @@ def test_eval_hemit_end_to_end(eval_setup, monkeypatch, tmp_path):
         res = pd.read_csv(out / f"hemit_results_logreg_{split}.csv")
         assert np.isfinite(res["ROC AUC"]).all()
     assert (out / "hemit_cell_dataframe.csv").exists()
+
+
+def test_marker_figures_script(tmp_path, rng):
+    """figures/marker_figures.py: per-marker metrics + three PNG artifacts
+    from a synthetic test_dataframe_cell.csv (reference L7 parity)."""
+    import sys
+    sys.path.insert(0, str(Path(__file__).parent.parent / "figures"))
+    from marker_figures import make_figures, per_marker_metrics
+
+    n = 300
+    df = pd.DataFrame({
+        "cell_id": np.arange(n),
+        "CD31_pos": rng.random(n) < 0.3,
+        "CD3e_pos": rng.random(n) < 0.5,
+    })
+    # predictions correlated with GT -> AUC well above 0.5
+    df["CD31_pred"] = df["CD31_pos"] * 2.0 + rng.standard_normal(n)
+    df["CD3e_pred"] = df["CD3e_pos"] * 1.5 + rng.standard_normal(n)
+    csv = tmp_path / "test_dataframe_cell.csv"
+    df.to_csv(csv, index=False)
+
+    metrics = per_marker_metrics(df)
+    assert set(metrics["marker"]) == {"CD31", "CD3e"}
+    assert (metrics["roc_auc"] > 0.7).all()
+
+    make_figures(str(csv), str(tmp_path / "figs"))
+    for name in ("marker_metrics.csv", "marker_auc.png",
+                 "marker_violins.png", "marker_correlation.png"):
+        assert (tmp_path / "figs" / name).exists()
+
+
+def test_prediction_panels_render(tmp_path, rng):
+    sys.path.insert(0, str(Path(__file__).parent.parent / "figures"))
+    from prediction_panels import render_panel
+
+    he = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    gt = rng.integers(0, 255, (32, 32, 2), dtype=np.uint8)
+    pred = rng.integers(0, 255, (32, 32, 2), dtype=np.uint8)
+    out = str(tmp_path / "panel.png")
+    render_panel(he, gt, pred, ["CD31", "CD3e"], out)
+    assert Path(out).exists()
+
+
+def test_embedding_map_plot(tmp_path, rng):
+    sys.path.insert(0, str(Path(__file__).parent.parent / "figures"))
+    from datasets_umap import plot_embedding, reduce_2d
+
+    embs = rng.standard_normal((60, 16)).astype(np.float32)
+    coords = reduce_2d(embs, seed=0)
+    assert coords.shape == (60, 2)
+    out = str(tmp_path / "umap.png")
+    plot_embedding(coords, ["train"] * 30 + ["val"] * 30, out)
+    assert Path(out).exists()
