@@ -3,8 +3,10 @@
 The reference runs timm's eager attention (materializes [B,H,S,S] probs) on
 cuDNN (reference: src/generators/mipheivit.py via timm VisionTransformer).
 Here the forward is a Pallas TPU kernel with online softmax — logits never
-leave VMEM — and the backward is an XLA recompute-from-LSE pass (cheap at
-ViT sequence lengths, and XLA fuses it well). Sequence length is padded to a
+leave VMEM — and the backward is an XLA recompute-from-LSE pass at ViT
+sequence lengths (cheap, and XLA fuses it well) or Pallas block-recompute
+kernels (dK/dV then dQ, probs rebuilt from the saved LSE) for long
+sequences, so whole-region training never materializes [B,H,S,S]. Sequence length is padded to a
 lane-aligned multiple of 128 inside the op; padded keys are masked with -inf
 so callers see exact softmax semantics at any S (e.g. 329 = 18x18 patches +
 1 cls + 4 reg tokens for H-Optimus-0 at 256px).
@@ -52,10 +54,12 @@ def _attn_reference(q, k, v, seq_len: int):
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
                   acc_ref, m_ref, l_ref, *, seq_len: int, kv_steps: int,
                   block_k: int):
-    """One (batch*head, q-block) program; kv-block loop is the last grid dim."""
+    """One (batch*head, q-block) program; kv-block loop is the last grid dim.
+    Emits the log-sum-exp rows so the Pallas backward can recompute probs
+    block-by-block without an [S,S] intermediate."""
     kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
@@ -94,6 +98,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
     @pl.when(kv_idx == kv_steps - 1)
     def _finalize():
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        lse_ref[0] = (m_ref[:] + jnp.log(l_ref[:]))[:, 0]
 
 
 def _short_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, group: int):
@@ -151,10 +156,9 @@ def _short_forward(q, k, v, seq_len: int, interpret: bool):
     return out.reshape(b, h, s, d)
 
 
-def _flash_forward(q, k, v, seq_len: int, interpret: bool):
+def _long_forward(q, k, v, seq_len: int, interpret: bool):
+    """Online-softmax forward for S > _MAX_BLOCK; also returns LSE rows."""
     b, h, s, d = q.shape
-    if s <= _MAX_BLOCK:
-        return _short_forward(q, k, v, seq_len, interpret)
     bh = b * h
     qf = q.reshape(bh, s, d)
     kf = k.reshape(bh, s, d)
@@ -165,7 +169,7 @@ def _flash_forward(q, k, v, seq_len: int, interpret: bool):
 
     kernel = functools.partial(_flash_kernel, seq_len=seq_len,
                                kv_steps=kv_steps, block_k=block)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=(bh, q_steps, kv_steps),
         in_specs=[
@@ -173,8 +177,14 @@ def _flash_forward(q, k, v, seq_len: int, interpret: bool):
             pl.BlockSpec((1, block, d), lambda g, i, j: (g, j, 0)),
             pl.BlockSpec((1, block, d), lambda g, i, j: (g, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block, d), lambda g, i, j: (g, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, block), lambda g, i, j: (g, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, s), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block, d), jnp.float32),
             pltpu.VMEM((block, 1), jnp.float32),
@@ -185,7 +195,139 @@ def _flash_forward(q, k, v, seq_len: int, interpret: bool):
         ),
         interpret=interpret,
     )(qf, kf, vf)
-    return out.reshape(b, h, s, d)
+    return out.reshape(b, h, s, d), lse
+
+
+def _flash_forward(q, k, v, seq_len: int, interpret: bool):
+    if q.shape[-2] <= _MAX_BLOCK:
+        return _short_forward(q, k, v, seq_len, interpret)
+    return _long_forward(q, k, v, seq_len, interpret)[0]
+
+
+def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                     dk_ref, dv_ref, dk_acc, dv_acc, *, seq_len: int,
+                     q_steps: int, block_k: int, scale: float):
+    """Grid (bh, kv_block, q_block): accumulate dK/dV for one kv block over
+    all q blocks. Probs are recomputed per block pair from the saved LSE —
+    the [S,S] matrix never exists."""
+    q_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0].astype(jnp.float32)           # [BLK_Q, D]
+    k = k_ref[0].astype(jnp.float32)           # [BLK_K, D]
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)         # [BLK_Q, D]
+    lse = lse_ref[0][:, None]                  # [BLK_Q, 1]
+    delta = delta_ref[0][:, None]              # [BLK_Q, 1]
+
+    s_ij = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                   # [BLK_Q, BLK_K]
+    key_pos = pl.program_id(1) * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, s_ij.shape, dimension=1)
+    s_ij = jnp.where(key_pos < seq_len, s_ij, _NEG_INF)
+    p = jnp.exp(s_ij - lse)                     # [BLK_Q, BLK_K]
+
+    dv_acc[:] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale
+    dk_acc[:] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(q_idx == q_steps - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, dq_acc, *, seq_len: int, kv_steps: int,
+                   block_k: int, scale: float):
+    """Grid (bh, q_block, kv_block): accumulate dQ for one q block."""
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]
+    delta = delta_ref[0][:, None]
+
+    s_ij = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    key_pos = kv_idx * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, s_ij.shape, dimension=1)
+    s_ij = jnp.where(key_pos < seq_len, s_ij, _NEG_INF)
+    p = jnp.exp(s_ij - lse)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale
+    dq_acc[:] += jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == kv_steps - 1)
+    def _finalize():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _long_backward(q, k, v, out, lse, g, seq_len: int, interpret: bool):
+    b, h, s, d = q.shape
+    bh = b * h
+    block = _pick_block(s)
+    steps = s // block
+    scale = 1.0 / float(np.sqrt(d))
+    qf, kf, vf, gf = (t.reshape(bh, s, d) for t in (q, k, v, g))
+    # delta = rowsum(dO * O): one fused elementwise pass in XLA
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1).reshape(bh, s)
+
+    qkv_spec = pl.BlockSpec((1, block, d), lambda gidx, i, j: (gidx, j, 0))
+    row_spec = pl.BlockSpec((1, block), lambda gidx, i, j: (gidx, j))
+    kv_spec = pl.BlockSpec((1, block, d), lambda gidx, i, j: (gidx, i, 0))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkdv_kernel, seq_len=seq_len, q_steps=steps,
+                          block_k=block, scale=scale),
+        grid=(bh, steps, steps),
+        in_specs=[qkv_spec, kv_spec, kv_spec, qkv_spec, row_spec, row_spec],
+        out_specs=[kv_spec, kv_spec],
+        out_shape=[jax.ShapeDtypeStruct((bh, s, d), k.dtype),
+                   jax.ShapeDtypeStruct((bh, s, d), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((block, d), jnp.float32),
+                        pltpu.VMEM((block, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qf, kf, vf, gf, lse, delta)
+
+    q_spec = pl.BlockSpec((1, block, d), lambda gidx, i, j: (gidx, i, 0))
+    qrow_spec = pl.BlockSpec((1, block), lambda gidx, i, j: (gidx, i))
+    kvj_spec = pl.BlockSpec((1, block, d), lambda gidx, i, j: (gidx, j, 0))
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, seq_len=seq_len, kv_steps=steps,
+                          block_k=block, scale=scale),
+        grid=(bh, steps, steps),
+        in_specs=[q_spec, kvj_spec, kvj_spec, q_spec, qrow_spec, qrow_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qf, kf, vf, gf, lse, delta)
+    shape = (b, h, s, d)
+    return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -194,20 +336,21 @@ def _flash_attention(q, k, v, seq_len: int, interpret: bool):
 
 
 def _flash_fwd_rule(q, k, v, seq_len, interpret):
-    out = _flash_forward(q, k, v, seq_len, interpret)
-    return out, (q, k, v, out)
+    if q.shape[-2] <= _MAX_BLOCK:
+        out = _short_forward(q, k, v, seq_len, interpret)
+        return out, (q, k, v, out, None)
+    out, lse = _long_forward(q, k, v, seq_len, interpret)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd_rule(seq_len, interpret, residuals, g):
-    """Flash backward via logits recompute, in plain XLA.
-
-    At ViT sequence lengths the recomputed [B,H,S,S] logits block is small
-    and XLA fuses the chain; the flash forward already avoided materializing
-    it on the fwd pass, which is where the memory peak was. LSE is
-    recomputed from the logits rather than emitted by the kernel (TPU output
-    tiling would force padding a [*,S] f32 output to lane width).
-    """
-    q, k, v, out = residuals
+    """Backward: XLA recompute at ViT sequence lengths (the [S,S] block is
+    small and fuses); the Pallas block-recompute kernels above for long
+    sequences, where an [S,S] intermediate would be tens of GB (21k-token
+    whole-region training)."""
+    q, k, v, out, lse = residuals
+    if lse is not None:
+        return _long_backward(q, k, v, out, lse, g, seq_len, interpret)
     s = q.shape[-2]
     scale = 1.0 / np.sqrt(q.shape[-1])
     qf = q.astype(jnp.float32)

@@ -114,3 +114,27 @@ def test_merge_lora_exact(rng):
     assert not any(
         "lora" in str(p)
         for p, _ in jax.tree_util.tree_leaves_with_path(v2["params"]))
+
+
+def test_flash_long_backward_pallas_matches_reference(rng):
+    """Long-sequence (S > 512) backward runs the Pallas block-recompute
+    kernels (dK/dV + dQ from the saved LSE) — gradients must match the
+    XLA reference, including an unaligned true length under padding."""
+    from mipheivit_tpu.ops.attention import _MAX_BLOCK
+
+    s = _MAX_BLOCK + 130                      # unaligned -> internal padding
+    q, k, v = _mk(rng, b=1, h=2, s=s, d=32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(dot_product_attention(q, k, v, impl="flash") ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_attn_reference(q, k, v, q.shape[-2]) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(
+        jnp.array(q), jnp.array(k), jnp.array(v))
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        jnp.array(q), jnp.array(k), jnp.array(v))
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
