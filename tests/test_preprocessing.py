@@ -367,3 +367,41 @@ def test_flow_segmentation_overlap_averaging(wsi_pair, tmp_path):
         partner = np.unique(b[mask])
         assert len(partner) == 1            # one-to-one instance match
         np.testing.assert_array_equal(mask, b == partner[0])
+
+
+def test_mif_cleaning_bounded_memory(tmp_path):
+    """VERDICT r1 #4 'Done' criterion: cleaning a slide bigger than the RAM
+    bound must keep peak RSS near the interpreter baseline — a full-slide
+    materialization (in uint16 512MB + out uint8 256MB) would blow the
+    assertion, one 256-row band (~50MB) does not."""
+    import subprocess
+
+    h, w, c = 8192, 4096, 8                      # 512 MB uint16 input
+    slide = np.zeros((c, h, w), np.uint16)
+    slide[:, ::64, ::64] = 40000                 # sparse so deflate is fast
+    src = str(tmp_path / "big.ome.tiff")
+    write_pyramid(src, slide, n_levels=5, tile_size=512)
+    del slide
+    lam = tmp_path / "lam.json"
+    lam.write_text(json.dumps({"1": {"lambda": 0.5, "bias": 0.0}}))
+    out = str(tmp_path / "clean.ome.tiff")
+    child = f"""
+import resource, runpy, sys
+sys.argv = ["mif_cleaning.py", "--slide_path", {src!r}, "--out_path",
+            {out!r}, "--lambda_settings", {str(lam)!r}, "--af_channel", "0",
+            "--channel_names", "{','.join(f'c{i}' for i in range(c))}",
+            "--tile_size", "1024", "--band_rows", "256"]
+runpy.run_path({str(REPO / 'preprocessings/mif_cleaning/mif_cleaning.py')!r},
+               run_name="__main__")
+print("MAXRSS_MB", resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024)
+"""
+    res = subprocess.run([sys.executable, "-c", child], capture_output=True,
+                         text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-2000:]
+    rss_mb = int(res.stdout.strip().splitlines()[-1].split()[-1])
+    # interpreter + numpy/cv2 baseline is ~200 MB; a slide-sized buffer
+    # would add 256-768 MB
+    assert rss_mb < 450, f"peak RSS {rss_mb} MB — not band-bounded"
+    ts = TiffSlide(out)
+    assert ts.dimensions == (w, h) and ts.n_channels == c
+    ts.close()
