@@ -89,13 +89,13 @@ class PixelMetrics:
 
     sse: jnp.ndarray        # sum of squared error (clamped)
     count: jnp.ndarray      # element count
-    ssim_sum: jnp.ndarray   # sum of per-batch mean SSIM
-    batches: jnp.ndarray
+    ssim_sum: jnp.ndarray   # sum of per-image SSIM
+    images: jnp.ndarray     # valid-image count (torchmetrics pools per image)
 
     @classmethod
     def zeros(cls) -> "PixelMetrics":
         z = jnp.zeros((), jnp.float32)
-        return cls(sse=z, count=z, ssim_sum=z, batches=z)
+        return cls(sse=z, count=z, ssim_sum=z, images=z)
 
     def update(self, pred, target,
                data_range: Tuple[float, float] = (-0.9, 0.9),
@@ -113,9 +113,12 @@ class PixelMetrics:
         return PixelMetrics(
             sse=self.sse + jnp.sum((p - t) ** 2 * mask.reshape(mshape)),
             count=self.count + jnp.sum(mask) * per_image_elems,
-            ssim_sum=self.ssim_sum + jnp.sum(ssim_vals * mask) /
-            jnp.maximum(jnp.sum(mask), 1.0),
-            batches=self.batches + jnp.minimum(jnp.sum(mask), 1.0),
+            # torchmetrics StructuralSimilarityIndexMeasure pools the epoch
+            # per image (sum of per-image SSIM / n images), not per batch —
+            # matters when the last batch is ragged (reference:
+            # src/models.py:35-41 via torchmetrics elementwise_mean).
+            ssim_sum=self.ssim_sum + jnp.sum(ssim_vals * mask),
+            images=self.images + jnp.sum(mask),
         )
 
     def compute(self, data_range: Tuple[float, float] = (-0.9, 0.9)):
@@ -123,5 +126,5 @@ class PixelMetrics:
         mse = self.sse / jnp.maximum(self.count, 1.0)
         return {
             "psnr": 10.0 * jnp.log10((hi - lo) ** 2 / mse),
-            "ssim": self.ssim_sum / jnp.maximum(self.batches, 1.0),
+            "ssim": self.ssim_sum / jnp.maximum(self.images, 1.0),
         }

@@ -26,6 +26,7 @@ import numpy as np
 import flax.linen as nn
 
 from .vit import ViTConfig, VisionTransformer
+from ..ops import seg_heads
 from ..ops.resize import resize_bicubic, upsample2x_bilinear_nhwc
 
 # pix2pix-style init used across the reference decoder
@@ -122,6 +123,25 @@ class SegmentationHead(nn.Module):
         return x
 
 
+class _BNVars(nn.Module):
+    """Declares BatchNorm parameters/stats under this module's scope and
+    returns them raw, so the caller can fold them (Pallas path) or apply
+    them manually (XLA path) while checkpoints keep the ``psi_bn/{scale,
+    bias}`` + ``batch_stats`` layout of a real ``nn.BatchNorm``."""
+
+    feats: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", bn_scale_init, (self.feats,))
+        bias = self.param("bias", nn.initializers.zeros, (self.feats,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.feats,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.feats,), jnp.float32))
+        return scale, bias, mean, var
+
+
 class BatchedSegHeads(nn.Module):
     """All K attention-gated heads in one fused pass.
 
@@ -139,40 +159,84 @@ class BatchedSegHeads(nn.Module):
 
     out_chans: int
     activation: str = "tanh"
+    impl: str = "auto"      # "auto" | "xla" | "pallas" | "pallas_interpret"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, h, w, c = x.shape
         k = self.out_chans
         c2 = c // 2
+        eps = 1e-5
 
         w1 = self.param("psi_conv1_kernel", conv_init, (k, 1, 1, c, c2))
         b1 = self.param("psi_conv1_bias", nn.initializers.zeros, (k, c2))
+        w2 = self.param("psi_conv2_kernel", conv_init, (k, 1, 1, c2, 1))
+        b2 = self.param("psi_conv2_bias", nn.initializers.zeros, (k, 1))
+        wf = self.param("conv_kernel", conv_init, (k, 3, 3, c, 1))
+        bf = self.param("conv_bias", nn.initializers.zeros, (k, 1))
+        scale, bias, ra_mean, ra_var = _BNVars(k * c2, name="psi_bn")()
+        # tap-major [C, 9K] matrix of the K final 3x3 convs
+        wm = wf[:, :, :, :, 0].transpose(3, 1, 2, 0).reshape(c, 9 * k)
+
+        # NOTE: measured on v5e at bench shape, the Pallas fused kernel is
+        # 2.5x SLOWER than the XLA path (25.3 vs 10.0 ms at B=64): the nine
+        # (dy, dx) tap slices are sublane/lane-misaligned in the [rows, W,
+        # 9K] layout and Mosaic inserts a relayout per tap. Kept behind
+        # impl="pallas" for future layout work; "auto" stays on XLA.
+        use_pallas = (
+            not train and seg_heads.supported(h, w)
+            and self.impl in ("pallas", "pallas_interpret")
+        )
+        if use_pallas:
+            # whole chain in one VMEM-resident Pallas pass; BN folded into
+            # the psi-conv1 weights in f32 (ops/seg_heads.py)
+            mul = jax.lax.rsqrt(ra_var.value + eps) * scale
+            w1eff = (w1[:, 0, 0].transpose(1, 0, 2).reshape(c, k * c2)
+                     * mul[None, :])
+            b1eff = (b1.reshape(k * c2) - ra_mean.value) * mul + bias
+            w2v = w2[:, 0, 0, :, 0]                           # [K, C2]
+            w2bd = (w2v[:, :, None] * jnp.eye(k, dtype=w2v.dtype)[:, None, :]
+                    ).reshape(k * c2, k)
+            return seg_heads.fused_seg_heads(
+                x, w1eff, b1eff, w2bd, b2[:, 0], wm, bf[:, 0],
+                activation=self.activation,
+                interpret=self.impl == "pallas_interpret")
+
         g = jnp.einsum("bhwc,kcd->bhwkd", x,
                        w1[:, 0, 0].astype(x.dtype)) + b1.astype(x.dtype)
         g = g.reshape(b, h, w, k * c2)
-        g = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, scale_init=bn_scale_init,
-                         name="psi_bn", dtype=x.dtype)(g)
+        # manual BatchNorm (flax-parity math; variables live under psi_bn)
+        if train:
+            gf = g.astype(jnp.float32)
+            bmean = jnp.mean(gf, axis=(0, 1, 2))
+            bvar = jnp.maximum(
+                jnp.mean(gf * gf, axis=(0, 1, 2)) - bmean * bmean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = 0.9 * ra_mean.value + 0.1 * bmean
+                ra_var.value = 0.9 * ra_var.value + 0.1 * bvar
+            mean_, var_ = bmean, bvar
+        else:
+            mean_, var_ = ra_mean.value, ra_var.value
+        g = ((g - mean_) * (jax.lax.rsqrt(var_ + eps) * scale)
+             + bias).astype(x.dtype)
         g = nn.relu(g).reshape(b, h, w, k, c2)
-        w2 = self.param("psi_conv2_kernel", conv_init, (k, 1, 1, c2, 1))
-        b2 = self.param("psi_conv2_bias", nn.initializers.zeros, (k, 1))
         gate = nn.sigmoid(
             jnp.einsum("bhwkd,kd->bhwk", g, w2[:, 0, 0, :, 0].astype(x.dtype))
             + b2[:, 0].astype(x.dtype))                       # [B,H,W,K]
 
-        wf = self.param("conv_kernel", conv_init, (k, 3, 3, c, 1))
-        bf = self.param("conv_bias", nn.initializers.zeros, (k, 1))
-        # m[..., D, k] = sum_c W_k[D, c] x_c   (one matmul over 9K outputs)
-        wm = wf[:, :, :, :, 0].transpose(3, 1, 2, 0).reshape(c, 9 * k)
-        m = (x.reshape(-1, c) @ wm.astype(x.dtype)).reshape(b, h, w, 9, k)
-        mg = m * gate[..., None, :]                            # [B,H,W,9,K]
-        out = jnp.zeros((b, h, w, k), x.dtype)
-        pad = jnp.pad(mg, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
-        for dy in range(3):
-            for dx in range(3):
-                # tap (dy,dx) of the kernel sees input shifted by (dy-1,dx-1)
-                out = out + pad[:, dy:dy + h, dx:dx + w, dy * 3 + dx]
+        # m[..., D, k] = sum_c W_k[D, c] x_c   (one matmul over 9K outputs).
+        # Padding x BEFORE the matmul (1% extra rows) lets the 9 shifted
+        # tap contributions collapse into one stack+sum fusion over slices
+        # of m — no [B,H,W,9,K] gated intermediate, no separate pad pass
+        # (saves ~2.5 GB of HBM traffic per B=64 batch at 256 px).
+        x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        m = (x_pad.reshape(-1, c) @ wm.astype(x.dtype)).reshape(
+            b, h + 2, w + 2, 9, k)
+        gate_pad = jnp.pad(gate, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        taps = [m[:, dy:dy + h, dx:dx + w, dy * 3 + dx]
+                * gate_pad[:, dy:dy + h, dx:dx + w]
+                for dy in range(3) for dx in range(3)]
+        out = jnp.sum(jnp.stack(taps, axis=-1), axis=-1)
         out = out + bf[:, 0].astype(x.dtype)
         if self.activation == "tanh":
             out = jnp.tanh(out)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
-from ..ops.attention import attention_bshd
+from ..ops.attention import attention_bshd, attention_qkv
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,17 +104,18 @@ class Attention(nn.Module):
         b, s, d = x.shape
         qkv = nn.Dense(3 * d, use_bias=cfg.qkv_bias, name="qkv",
                        dtype=x.dtype)(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
         if cfg.lora_rank > 0:
             # adapters on the q and v slices of the fused qkv
             # (reference: src/generators/lora.py:21-33)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
             q = q + LoRA(d, cfg.lora_rank, cfg.lora_alpha, name="lora_q")(x)
             v = v + LoRA(d, cfg.lora_rank, cfg.lora_alpha, name="lora_v")(x)
-
-        # transpose-free path: attention consumes the fused-qkv layout
-        # [B, S, H*D] directly (Pallas kernel on TPU at ViT sequence
-        # lengths; falls back to explicit-head XLA attention elsewhere)
-        out = attention_bshd(q, k, v, cfg.num_heads, impl=cfg.attn_impl)
+            out = attention_bshd(q, k, v, cfg.num_heads, impl=cfg.attn_impl)
+        else:
+            # transpose-free path: the Pallas kernel reads the q/k/v
+            # sections of the fused-qkv buffer in place — the splits (three
+            # [B,S,H*D] copies per block) never materialize
+            out = attention_qkv(qkv, cfg.num_heads, impl=cfg.attn_impl)
         return nn.Dense(d, name="proj", dtype=x.dtype)(out)
 
 

@@ -396,39 +396,49 @@ def _pad_to(x, s_pad):
 # ---------------------------------------------------------------------------
 
 
+def _pick_heads_per_block(num_heads: int, s: int, d: int) -> int:
+    """Largest head group whose q/k/v/o blocks (double-buffered) plus the
+    per-head f32 logits stay inside the 16 MB scoped-VMEM limit — bigger
+    groups amortize grid overhead and enlarge DMAs, but the limit is hard
+    (hpb=24 at ViT-g shape compiles to an 18.8 MB stack and is rejected)."""
+    budget = 2 * 1024 * 1024
+    for cand in range(num_heads, 0, -1):
+        if num_heads % cand == 0 and 4 * s * cand * d * 2 <= budget:
+            return cand
+    return 1
+
+
 def _bshd_kernel(q_ref, k_ref, v_ref, o_ref, *, head_dim: int,
                  heads_per_block: int):
     outs = []
-    scale = 1.0 / float(np.sqrt(head_dim))
+    # fold softmax's 1/sqrt(d) and exp->exp2 conversion into one scale:
+    # exp(x*s - m) == exp2(x*s' - m') with s' = s*log2(e); exp2 is the
+    # cheaper VPU primitive and the max-shift stays exact.
+    scale = float(np.log2(np.e) / np.sqrt(head_dim))
     for g in range(heads_per_block):
         sl = slice(g * head_dim, (g + 1) * head_dim)
         q = q_ref[0][:, sl]                        # [S, D]
         k = k_ref[0][:, sl]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale                                   # [S, S] f32
+        ) * scale                                   # [S, S] f32 (log2 units)
         m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
+        p = jnp.exp2(logits - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        p = (p / l).astype(v_ref.dtype)
-        outs.append(jax.lax.dot_general(
-            p, v_ref[0][:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
+        # normalize the [S, D] output instead of the [S, S] probs: one
+        # cheap column pass replaces an S^2 divide (numerically identical
+        # to f32 division tolerance)
+        acc = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0][:, sl],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        outs.append(acc / l)
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
 def _bshd_forward(q, k, v, num_heads: int, interpret: bool):
     b, s, hd = q.shape
     d = hd // num_heads
-    # Largest head group whose q/k/v/o blocks stay within a conservative
-    # VMEM budget — bigger groups amortize grid overhead and enlarge DMAs
-    # (measured on v5e at ViT-g shape: hpb=24 beats 8 by ~15%).
-    budget = 8 * 1024 * 1024
-    hpb = 1
-    for cand in range(num_heads, 0, -1):
-        if num_heads % cand == 0 and 4 * s * cand * d * 2 <= budget:
-            hpb = cand
-            break
+    hpb = _pick_heads_per_block(num_heads, s, d)
     kernel = functools.partial(_bshd_kernel, head_dim=d, heads_per_block=hpb)
     return pl.pallas_call(
         kernel,
@@ -485,6 +495,84 @@ def _bshd_bwd_rule(num_heads, interpret, residuals, g):
 
 
 _bshd_attention.defvjp(_bshd_fwd_rule, _bshd_bwd_rule)
+
+
+def _qkv_forward(qkv, num_heads: int, interpret: bool):
+    """BSHD kernel fed straight from the fused-qkv buffer [B, S, 3*H*D].
+
+    ``jnp.split(qkv, 3)`` before a pallas_call forces XLA to materialize
+    three [B,S,H*D] copies (the kernel's operands must be whole arrays) —
+    ~0.4 GB of pure HBM traffic per ViT-g block at B=64. Instead the one
+    qkv buffer is passed three times with block index maps offset into the
+    q/k/v sections, so the DMA engine reads each slice in place and the
+    splits never exist.
+    """
+    b, s, hd3 = qkv.shape
+    hd = hd3 // 3
+    d = hd // num_heads
+    hpb = _pick_heads_per_block(num_heads, s, d)
+    nblk = num_heads // hpb
+    kernel = functools.partial(_bshd_kernel, head_dim=d, heads_per_block=hpb)
+
+    def spec(section):
+        return pl.BlockSpec(
+            (1, s, hpb * d),
+            lambda i, j, section=section: (i, 0, j + section * nblk))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nblk),
+        in_specs=[spec(0), spec(1), spec(2)],
+        out_specs=pl.BlockSpec((1, s, hpb * d), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b, s, hd), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _qkv_attention(qkv, num_heads: int, interpret: bool):
+    return _qkv_forward(qkv, num_heads, interpret)
+
+
+def _qkv_fwd_rule(qkv, num_heads, interpret):
+    out = _qkv_forward(qkv, num_heads, interpret)
+    return out, (qkv, out)
+
+
+def _qkv_bwd_rule(num_heads, interpret, residuals, g):
+    qkv, out = residuals
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    dq, dk, dv = _bshd_bwd_rule(num_heads, interpret, (q, k, v, out), g)
+    return (jnp.concatenate([dq, dk, dv], axis=-1),)
+
+
+_qkv_attention.defvjp(_qkv_fwd_rule, _qkv_bwd_rule)
+
+
+def attention_qkv(qkv, num_heads: int, *, impl: str = "auto"):
+    """Attention straight off the fused-qkv projection output.
+
+    ``qkv``: [B, S, 3*H*D] laid out as the q | k | v sections of a fused
+    Dense(3*H*D). Equivalent to splitting and calling ``attention_bshd``,
+    but on TPU the kernel reads the sections in place — no split copies.
+    """
+    b, s, hd3 = qkv.shape
+    hd = hd3 // 3
+    d = hd // num_heads
+    on_tpu = jax.default_backend() == "tpu"
+    use_kernel = (
+        impl in ("flash", "flash_interpret")
+        or (impl == "auto" and on_tpu)
+    ) and (d % 8 == 0) and 8 <= s <= _MAX_BLOCK
+    if use_kernel:
+        interpret = impl == "flash_interpret" or not on_tpu
+        return _qkv_attention(qkv, num_heads, interpret)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    return attention_bshd(q, k, v, num_heads, impl=impl)
 
 
 def attention_bshd(q, k, v, num_heads: int, *, impl: str = "auto"):

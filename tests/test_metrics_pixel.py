@@ -63,3 +63,22 @@ def test_streaming_accumulator(rng):
     out = m.compute()
     full_psnr = float(psnr(jnp.array(p), jnp.array(t)))
     assert abs(float(out["psnr"]) - full_psnr) < 1e-4
+
+
+def test_epoch_ssim_pools_per_image_not_per_batch():
+    """torchmetrics elementwise_mean weights each image equally across the
+    epoch, so splitting the same images into ragged batches must not change
+    the pooled value (reference: src/models.py:35-41)."""
+    import jax.numpy as jnp
+    from mipheivit_tpu.metrics import PixelMetrics
+
+    rng = np.random.default_rng(7)
+    pred = rng.standard_normal((5, 16, 16, 2)).astype(np.float32) * 0.3
+    tgt = rng.standard_normal((5, 16, 16, 2)).astype(np.float32) * 0.3
+
+    whole = PixelMetrics.zeros().update(jnp.array(pred), jnp.array(tgt))
+    ragged = PixelMetrics.zeros()
+    ragged = ragged.update(jnp.array(pred[:4]), jnp.array(tgt[:4]))
+    ragged = ragged.update(jnp.array(pred[4:]), jnp.array(tgt[4:]))
+    np.testing.assert_allclose(float(whole.compute()["ssim"]),
+                               float(ragged.compute()["ssim"]), rtol=1e-6)

@@ -179,3 +179,26 @@ def test_fast_heads_match_per_head(rng):
          "batch_stats": {**variables["batch_stats"], "decoder": fstats}},
         x, train=False))
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_fused_seg_heads_pallas_matches_xla(rng):
+    """The Pallas fused-heads kernel (interpret mode on CPU) must match the
+    XLA BatchedSegHeads path on non-trivial BN stats."""
+    from mipheivit_tpu.models.mipheivit import BatchedSegHeads
+
+    b, h, w, c, k = 2, 16, 32, 8, 3
+    x = jnp.array(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    xla = BatchedSegHeads(k, impl="xla")
+    variables = xla.init(jax.random.PRNGKey(0), x, train=False)
+    nfeat = k * (c // 2)
+    variables = {
+        "params": variables["params"],
+        "batch_stats": {"psi_bn": {
+            "mean": jnp.array(rng.standard_normal(nfeat), jnp.float32) * 0.3,
+            "var": jnp.array(rng.uniform(0.5, 2.0, nfeat), jnp.float32),
+        }},
+    }
+    ref = np.asarray(xla.apply(variables, x, train=False))
+    pal = np.asarray(BatchedSegHeads(k, impl="pallas_interpret").apply(
+        variables, x, train=False))
+    np.testing.assert_allclose(pal, ref, atol=2e-5, rtol=1e-4)

@@ -138,3 +138,35 @@ def test_flash_long_backward_pallas_matches_reference(rng):
     for a, b in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_qkv_fused_kernel_matches_split(rng):
+    """attention_qkv (in-place section reads off one fused buffer) must be
+    bit-comparable to splitting + attention_bshd."""
+    from mipheivit_tpu.ops.attention import attention_bshd, attention_qkv
+
+    b, h, s, d = 2, 4, 329, 32
+    qkv = rng.standard_normal((b, s, 3 * h * d)).astype(np.float32)
+    q, k, v = np.split(qkv, 3, axis=-1)
+    out = np.asarray(attention_qkv(jnp.array(qkv), h, impl="flash_interpret"))
+    ref = np.asarray(attention_bshd(
+        jnp.array(q), jnp.array(k), jnp.array(v), h, impl="flash_interpret"))
+    np.testing.assert_array_equal(out, ref)
+    xla = np.asarray(attention_bshd(
+        jnp.array(q), jnp.array(k), jnp.array(v), h, impl="xla"))
+    np.testing.assert_allclose(out, xla, atol=2e-5, rtol=1e-4)
+
+
+def test_qkv_fused_kernel_grads_match_xla(rng):
+    from mipheivit_tpu.ops.attention import attention_qkv
+
+    b, h, s, d = 1, 2, 50, 16
+    qkv = jnp.array(rng.standard_normal((b, s, 3 * h * d)), jnp.float32)
+
+    def f(impl):
+        return jax.grad(
+            lambda t: (attention_qkv(t, h, impl=impl) ** 2).sum())(qkv)
+
+    np.testing.assert_allclose(
+        np.asarray(f("flash_interpret")), np.asarray(f("xla")),
+        atol=1e-4, rtol=1e-4)
