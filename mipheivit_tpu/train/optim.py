@@ -135,3 +135,35 @@ def build_discriminator_optimizer(lr: float, total_iters: int,
         optax.scale_by_schedule(pix2pix_schedule(1.0, total_iters, warmup_iters)),
         optax.scale(-lr),
     )
+
+
+def partition_params(params, model_name: str):
+    """Split a param tree into (trainable, frozen) sub-trees by
+    ``is_trainable``.
+
+    TPU-first memory shape for LoRA/frozen training: the train step
+    differentiates and the optimizer tracks ONLY the trainable sub-tree,
+    so Adam never allocates moments for the frozen 1.1B-param foundation
+    encoder (~9 GB f32 on ViT-g) and the backward skips its dW matmuls.
+    The reference gets the same economy from torch's requires_grad=False
+    (src/generators/lora.py:66-83); here it falls out of the functional
+    partition. Both returned trees keep original nesting, so path-based
+    transforms (layer decay, masked_updates) still see canonical names.
+    """
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params)
+    t, f = {}, {}
+    for key, leaf in flat.items():
+        path = "/".join(str(k) for k in key)
+        (t if is_trainable(path, model_name) else f)[key] = leaf
+    return traverse_util.unflatten_dict(t), traverse_util.unflatten_dict(f)
+
+
+def combine_params(trainable, frozen):
+    """Inverse of ``partition_params``."""
+    from flax import traverse_util
+
+    flat = dict(traverse_util.flatten_dict(frozen))
+    flat.update(traverse_util.flatten_dict(trainable))
+    return traverse_util.unflatten_dict(flat)

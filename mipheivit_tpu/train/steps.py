@@ -50,22 +50,47 @@ class StepConfig:
     use_cell_loss: bool = False
     cell_capacity: int = 1024
     data_range: tuple = (-0.9, 0.9)
+    # model name driving the trainable/frozen partition (optim.is_trainable).
+    # When set, the train step differentiates and the optimizer tracks only
+    # the trainable sub-tree — no grads or Adam moments for the frozen
+    # foundation encoder (torch requires_grad economy; ~14 GB saved on
+    # ViT-g). None = legacy full-tree behavior.
+    freeze_model_name: Optional[str] = None
 
 
 def create_train_state(rng, model, gen_optimizer, disc=None,
                        disc_optimizer=None, sample_batch=None,
-                       gen_variables=None):
-    """Initialize (or adopt imported) generator variables + optimizers."""
+                       gen_variables=None, freeze_model_name=None,
+                       frozen_dtype=None):
+    """Initialize (or adopt imported) generator variables + optimizers.
+
+    ``frozen_dtype`` (e.g. "bfloat16"): storage dtype for the frozen
+    sub-tree. Frozen weights never update, and the forward casts them to
+    the compute dtype anyway, so keeping an f32 master copy of a frozen
+    1.1B-param encoder wastes ~2.3 GB of HBM plus a per-step convert temp
+    — storing them in the compute dtype is bit-identical in the step.
+    """
+    from .optim import combine_params, partition_params
+
     x = sample_batch["image"]
     if gen_variables is None:
         gen_variables = model.init(rng, x, train=False)
     gen_params = gen_variables["params"]
     gen_bs = gen_variables.get("batch_stats", {})
+    if freeze_model_name is None:
+        opt_params = gen_params
+    else:
+        opt_params, frozen = partition_params(gen_params, freeze_model_name)
+        if frozen_dtype is not None:
+            frozen = jax.tree.map(
+                lambda p: p.astype(frozen_dtype) if jnp.issubdtype(
+                    p.dtype, jnp.floating) else p, frozen)
+            gen_params = combine_params(opt_params, frozen)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         gen_params=gen_params,
         gen_batch_stats=gen_bs,
-        gen_opt_state=gen_optimizer.init(gen_params),
+        gen_opt_state=gen_optimizer.init(opt_params),
         rng=rng,
     )
     if disc is not None:
@@ -85,10 +110,14 @@ def make_train_step(model, loss_reconstruct: Callable, gen_optimizer,
 
     batch: {"image": [B,H,W,3], "target": [B,H,W,C], optional "nuclei": [B,H,W]}.
     """
+    from .optim import combine_params, partition_params
+
     fg_loss = focal_bce_loss(alpha=0.75, gamma=2.0)
 
-    def gen_loss_fn(gen_params, state, batch, rng):
+    def gen_loss_fn(gen_params, state, batch, rng, frozen=None):
         x, y = batch["image"], batch["target"]
+        if frozen is not None:
+            gen_params = combine_params(gen_params, frozen)
         variables = {"params": gen_params, "batch_stats": state.gen_batch_stats}
         out, mutated = model.apply(
             variables, x, train=True, mutable=["batch_stats"]
@@ -154,13 +183,26 @@ def make_train_step(model, loss_reconstruct: Callable, gen_optimizer,
 
     def train_step(state: TrainState, batch, metrics: PixelMetrics):
         rng, g_rng, d_rng = jax.random.split(state.rng, 3)
-        (loss, aux), grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
-            state.gen_params, state, batch, g_rng
-        )
-        updates, new_gen_opt = gen_optimizer.update(
-            grads, state.gen_opt_state, state.gen_params
-        )
-        new_gen_params = optax.apply_updates(state.gen_params, updates)
+        if cfg.freeze_model_name is not None:
+            # grads / moments / updates only for the trainable sub-tree;
+            # frozen weights are a closed-over constant of the backward
+            trainable, frozen = partition_params(
+                state.gen_params, cfg.freeze_model_name)
+            (loss, aux), grads = jax.value_and_grad(
+                gen_loss_fn, has_aux=True)(
+                trainable, state, batch, g_rng, frozen)
+            updates, new_gen_opt = gen_optimizer.update(
+                grads, state.gen_opt_state, trainable)
+            new_gen_params = combine_params(
+                optax.apply_updates(trainable, updates), frozen)
+        else:
+            (loss, aux), grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
+                state.gen_params, state, batch, g_rng
+            )
+            updates, new_gen_opt = gen_optimizer.update(
+                grads, state.gen_opt_state, state.gen_params
+            )
+            new_gen_params = optax.apply_updates(state.gen_params, updates)
 
         nan_flag = jnp.isnan(aux["fake"]).any()
 

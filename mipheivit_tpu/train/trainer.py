@@ -185,7 +185,8 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
         gan_train=gan_train,
         lsgan=cfg.select("train.losses.adversarial_loss") == "lsgan",
         foreground_head=bool(cfg.train.foreground_head),
-        use_cell_loss=cell_loss_fn is not None)
+        use_cell_loss=cell_loss_fn is not None,
+        freeze_model_name=cfg.model.model_name)
 
     mesh = make_data_mesh(cfg.train.batch_size)
 
@@ -204,7 +205,9 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
 
     state = create_train_state(
         jax.random.PRNGKey(cfg.train.seed), model, gen_opt, disc, disc_opt,
-        sample_batch=batch0, gen_variables=gen_variables)
+        sample_batch=batch0, gen_variables=gen_variables,
+        freeze_model_name=cfg.model.model_name,
+        frozen_dtype=dtype if dtype != "float32" else None)
 
     start_epoch = 0
     if resume:

@@ -202,3 +202,63 @@ def test_fused_seg_heads_pallas_matches_xla(rng):
     pal = np.asarray(BatchedSegHeads(k, impl="pallas_interpret").apply(
         variables, x, train=False))
     np.testing.assert_allclose(pal, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_fast_heads_train_bn_matches_flax(rng):
+    """The manual BatchNorm in BatchedSegHeads (train mode) must reproduce
+    nn.BatchNorm(momentum=0.9) semantics: batch-stat normalization plus the
+    running-stat EMA update."""
+    import flax.linen as nn
+    from mipheivit_tpu.models.mipheivit import BatchedSegHeads
+
+    b, h, w, c, k = 2, 16, 16, 8, 3
+    c2 = c // 2
+    x = jnp.array(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    mod = BatchedSegHeads(k, impl="xla")
+    variables = mod.init(jax.random.PRNGKey(0), x, train=False)
+    nfeat = k * c2
+    stats0 = {"psi_bn": {
+        "mean": jnp.array(rng.standard_normal(nfeat), jnp.float32) * 0.2,
+        "var": jnp.array(rng.uniform(0.5, 2.0, nfeat), jnp.float32),
+    }}
+    variables = {"params": variables["params"], "batch_stats": stats0}
+
+    out, mutated = mod.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+
+    # reference: rebuild the pre-BN activations and push them through a
+    # real nn.BatchNorm with the same params/stats
+    p = variables["params"]
+    g = jnp.einsum("bhwc,kcd->bhwkd", x, p["psi_conv1_kernel"][:, 0, 0]) \
+        + p["psi_conv1_bias"]
+    g = g.reshape(b, h, w, nfeat)
+    bn = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    bn_vars = {"params": {"scale": p["psi_bn"]["scale"],
+                          "bias": p["psi_bn"]["bias"]},
+               "batch_stats": {"mean": stats0["psi_bn"]["mean"],
+                               "var": stats0["psi_bn"]["var"]}}
+    g_ref, bn_mut = bn.apply(bn_vars, g, mutable=["batch_stats"])
+
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["psi_bn"]["mean"]),
+        np.asarray(bn_mut["batch_stats"]["mean"]), atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["psi_bn"]["var"]),
+        np.asarray(bn_mut["batch_stats"]["var"]), atol=1e-6, rtol=1e-5)
+
+    # and the full forward agrees with the reference chain built on g_ref
+    gate = nn.sigmoid(
+        jnp.einsum("bhwkd,kd->bhwk",
+                   nn.relu(g_ref).reshape(b, h, w, k, c2),
+                   p["psi_conv2_kernel"][:, 0, 0, :, 0])
+        + p["psi_conv2_bias"][:, 0])
+    wm = p["conv_kernel"][:, :, :, :, 0].transpose(3, 1, 2, 0).reshape(c, 9 * k)
+    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    m = (x_pad.reshape(-1, c) @ wm).reshape(b, h + 2, w + 2, 9, k)
+    gate_pad = jnp.pad(gate, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ref = sum(m[:, dy:dy + h, dx:dx + w, dy * 3 + dx]
+              * gate_pad[:, dy:dy + h, dx:dx + w]
+              for dy in range(3) for dx in range(3))
+    ref = jnp.tanh(ref + p["conv_bias"][:, 0])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

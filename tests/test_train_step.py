@@ -133,3 +133,69 @@ def test_trainable_mask_paths():
     assert mask["decoder"]["conv"]["kernel"] is True
     mask_all = trainable_mask(params, "hemit")
     assert mask_all["encoder"]["vit"]["blocks"]["attn"]["qkv"]["kernel"] is True
+
+
+def test_partitioned_step_matches_full_and_skips_frozen_moments(rng):
+    """freeze_model_name partitions grads/moments to the trainable sub-tree:
+    frozen encoder weights stay bit-identical, no Adam moments exist for
+    them, and (with the global-norm clip inactive) trainable updates match
+    the legacy full-tree step exactly."""
+    import optax
+    from flax import traverse_util
+    from mipheivit_tpu.train.optim import partition_params
+
+    model = _tiny_model()          # myvitmatte-style: frozen encoder + LoRA
+    batch = _batch(rng)
+    # tiny loss scale keeps the global grad norm << 1 so clip_by_global_norm
+    # is the identity in both paths and updates must agree bit-for-bit
+    loss_fn = lambda y, f: 1e-4 * jnp.mean((y - f) ** 2)
+
+    def run(freeze):
+        gen_opt = build_generator_optimizer("myvitmatte", 1e-3, 100)
+        state = create_train_state(
+            jax.random.PRNGKey(0), model, gen_opt, None, None,
+            sample_batch=batch, freeze_model_name=freeze)
+        step = jax.jit(make_train_step(
+            model, loss_fn, gen_opt, None, None,
+            StepConfig(freeze_model_name=freeze)))
+        metrics = PixelMetrics.zeros()
+        for _ in range(3):
+            state, metrics, _ = step(state, batch, metrics)
+        return state
+
+    full = run(None)
+    part = run("myvitmatte")
+
+    flat_full = traverse_util.flatten_dict(
+        jax.tree.map(np.asarray, full.gen_params))
+    flat_part = traverse_util.flatten_dict(
+        jax.tree.map(np.asarray, part.gen_params))
+    assert flat_full.keys() == flat_part.keys()
+    for k in flat_full:
+        np.testing.assert_array_equal(
+            flat_full[k], flat_part[k],
+            err_msg="/".join(map(str, k)))
+
+    # frozen weights unchanged from init
+    init_t, init_f = partition_params(
+        create_train_state(jax.random.PRNGKey(0), model,
+                           build_generator_optimizer("myvitmatte", 1e-3, 100),
+                           sample_batch=batch).gen_params, "myvitmatte")
+    for k, v in traverse_util.flatten_dict(init_f).items():
+        np.testing.assert_array_equal(np.asarray(v), flat_part[k])
+    # but LoRA B did move after 3 steps (warmup is 0 at step 0)
+    lora_b = [v for k, v in flat_part.items() if "B" in k and "lora" in "/".join(map(str, k))]
+    assert any(np.abs(v).max() > 0 for v in lora_b)
+
+    # no Adam moments exist for frozen paths
+    mu = None
+    for s in jax.tree_util.tree_leaves(
+            part.gen_opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState)):
+        if isinstance(s, optax.ScaleByAdamState):
+            mu = s.mu
+    assert mu is not None
+    mu_paths = {"/".join(map(str, k))
+                for k in traverse_util.flatten_dict(mu)}
+    assert all(("encoder" not in p) or ("lora" in p) for p in mu_paths), mu_paths
+    n_frozen = len(traverse_util.flatten_dict(init_f))
+    assert n_frozen > 0 and len(mu_paths) == len(flat_part) - n_frozen
