@@ -50,11 +50,15 @@ def main():
     # fused per-marker heads + merged LoRA: exact same numerics, one pass
     # over the feature map instead of 16 head chains, and the rank-8
     # adapter chains folded into the qkv weights (infer/loading)
-    from mipheivit_tpu.infer.loading import merge_lora, to_fast_heads
+    from mipheivit_tpu.infer.loading import (
+        cast_params, merge_lora, to_fast_heads)
 
     model, params = to_fast_heads(
         model, jax.tree.map(lambda v: v, params))
     model, params = merge_lora(model, params)
+    # params stored in the compute dtype: deletes the per-batch f32->bf16
+    # encoder-weight convert (bit-identical — every use casts anyway)
+    params = cast_params(params, dtype)
 
     x = jax.random.normal(jax.random.PRNGKey(1),
                           (batch, cfg_model[1], cfg_model[1], 3))

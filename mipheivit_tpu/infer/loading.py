@@ -88,11 +88,34 @@ def merge_lora(model, variables):
     return model.clone(vit_cfg=cfg.replace(lora_rank=0)), merged
 
 
+def cast_params(variables, dtype):
+    """Cast the float leaves of the ``params`` collection to ``dtype``.
+
+    Every weight use in the models goes through ``.astype(compute_dtype)``,
+    so pre-casting once at load time is bit-identical to converting the
+    f32 copy on every call — it just deletes the per-batch 4.5 GB -> 2.3 GB
+    encoder convert (~5 ms/batch on ViT-g) and halves param HBM.
+    ``batch_stats`` stay f32 (BatchNorm eval math promotes through them).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if jnp.dtype(dtype) == jnp.float32:
+        return variables
+    out = dict(variables)
+    out["params"] = jax.tree.map(
+        lambda p: p.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(p).dtype, jnp.floating) else p,
+        variables["params"])
+    return out
+
+
 def load_generator(cfg, checkpoint_dir: str, img_size, nc_out: int,
                    dtype: str = "float32",
                    encoder_ckpt_path: Optional[str] = None,
                    fast_heads: bool = False):
-    """Returns (model, variables) ready for ``model.apply``."""
+    """Returns (model, variables) ready for ``model.apply`` (params stored
+    in the compute dtype — see ``cast_params``)."""
     model = build_generator(cfg, img_size, nc_out, dtype=dtype)
     ckpt_dir = Path(checkpoint_dir)
     st_path = ckpt_dir / "model.safetensors"
@@ -114,7 +137,8 @@ def load_generator(cfg, checkpoint_dir: str, img_size, nc_out: int,
         params, batch_stats = mipheivit_from_torch(
             state, model.vit_cfg, out_chans=nc_out,
             encoder_state=encoder_state)
-        variables = {"params": params, "batch_stats": batch_stats}
+        variables = cast_params(
+            {"params": params, "batch_stats": batch_stats}, dtype)
         if fast_heads:
             return to_fast_heads(model, variables)
         return model, variables
@@ -129,7 +153,8 @@ def load_generator(cfg, checkpoint_dir: str, img_size, nc_out: int,
         params, batch_stats = unetr_from_torch(
             state, model.vit_cfg, out_chans=nc_out,
             encoder_state=encoder_state)
-        return model, {"params": params, "batch_stats": batch_stats}
+        return model, cast_params(
+            {"params": params, "batch_stats": batch_stats}, dtype)
 
     raise NotImplementedError(
         f"checkpoint import not implemented for {model_name!r}")

@@ -37,19 +37,68 @@ bn_scale_init = lambda key, shape, dtype=jnp.float32: (
 )
 
 
+class _PhasePackedConv(nn.Module):
+    """3x3/stride-1 conv evaluated as one 4x4/stride-2 conv over 4x packed
+    output phases + depth-to-space. Owns the canonical ``kernel`` param
+    ([3,3,C,K], same path as ``nn.Conv(name="conv")``) so checkpoints are
+    layout-identical; the 4x4 phase kernel is built from it at call time."""
+
+    out_chans: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        k = self.out_chans
+        kernel = self.param("kernel", conv_init, (3, 3, c, k))
+        k3 = kernel.astype(x.dtype)
+        w4 = jnp.zeros((4, 4, c, 2, 2, k), x.dtype)
+        for u in (0, 1):
+            for v in (0, 1):
+                # output phase (u, v) sees the 3x3 taps shifted by (u, v)
+                w4 = w4.at[u:u + 3, v:v + 3, :, u, v, :].add(k3)
+        w4 = w4.reshape(4, 4, c, 4 * k)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            xp, w4, window_strides=(2, 2), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y.reshape(b, h // 2, w // 2, 2, 2, k)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, k)
+        return y
+
+
 class BasicConv3x3(nn.Module):
-    """conv3x3(no bias) + BN + ReLU (reference: mipheivit.py:20-41)."""
+    """conv3x3(no bias) + BN + ReLU (reference: mipheivit.py:20-41).
+
+    ``impl="phase_packed"`` (measured dead end, kept for the record): all
+    four stride-2 output phases in ONE 4x4/stride-2 conv with 4*out_chans
+    output channels + depth-to-space — exact up to f32 re-association, and
+    meant to fix the <15% output-lane efficiency of the small-channel
+    fusion convs. Measured on v5e at B=64 it is *slower* than XLA's conv
+    (fusion2 8.3 vs 7.1 ms, fusion3 12.2 vs 10.1): the 1.78x kernel-support
+    FLOPs plus the depth-to-space relayout outweigh the lane win, so
+    "auto" always takes the plain conv.
+    """
 
     out_chans: int
     stride: int = 2
+    impl: str = "auto"       # "auto" (= xla) | "xla" | "phase_packed"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.out_chans, (3, 3), strides=(self.stride, self.stride),
-            padding=((1, 1), (1, 1)), use_bias=False,
-            kernel_init=conv_init, name="conv", dtype=x.dtype,
-        )(x)
+        b, h, w, c = x.shape
+        use_pp = (
+            self.stride == 1 and self.out_chans < 128
+            and h % 2 == 0 and w % 2 == 0
+            and self.impl == "phase_packed"
+        )
+        if use_pp:
+            x = _PhasePackedConv(self.out_chans, name="conv")(x)
+        else:
+            x = nn.Conv(
+                self.out_chans, (3, 3), strides=(self.stride, self.stride),
+                padding=((1, 1), (1, 1)), use_bias=False,
+                kernel_init=conv_init, name="conv", dtype=x.dtype,
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             scale_init=bn_scale_init, name="bn", dtype=x.dtype,

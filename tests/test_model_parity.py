@@ -262,3 +262,18 @@ def test_fast_heads_train_bn_matches_flax(rng):
     ref = jnp.tanh(ref + p["conv_bias"][:, 0])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_phase_packed_conv_matches_xla(rng):
+    """BasicConv3x3's phase-packed TPU form (one 4x4/stride-2 conv over 4
+    packed output phases + depth-to-space) must match the plain 3x3 conv."""
+    from mipheivit_tpu.models.mipheivit import BasicConv3x3
+
+    for (h, w, c, k) in [(16, 16, 8, 4), (32, 16, 67, 32)]:
+        x = jnp.array(rng.standard_normal((2, h, w, c)).astype(np.float32))
+        ref_mod = BasicConv3x3(k, stride=1, impl="xla")
+        vs = ref_mod.init(jax.random.PRNGKey(0), x, train=False)
+        ref = np.asarray(ref_mod.apply(vs, x, train=False))
+        out = np.asarray(BasicConv3x3(k, stride=1, impl="phase_packed")
+                         .apply(vs, x, train=False))
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
