@@ -564,10 +564,15 @@ def attention_qkv(qkv, num_heads: int, *, impl: str = "auto"):
     hd = hd3 // 3
     d = hd // num_heads
     on_tpu = jax.default_backend() == "tpu"
+    # the in-place section reads are blocked specs over the 3x-wide fused
+    # buffer, so Mosaic requires the block width (hpb*d) to be a multiple
+    # of 128 lanes (it can never equal the full 3*H*D array width); small
+    # models fall back to the split path, whose blocks can span the array
+    hpb = _pick_heads_per_block(num_heads, s, d)
     use_kernel = (
         impl in ("flash", "flash_interpret")
         or (impl == "auto" and on_tpu)
-    ) and (d % 8 == 0) and 8 <= s <= _MAX_BLOCK
+    ) and (d % 8 == 0) and 8 <= s <= _MAX_BLOCK and (hpb * d) % 128 == 0
     if use_kernel:
         interpret = impl == "flash_interpret" or not on_tpu
         return _qkv_attention(qkv, num_heads, interpret)
@@ -585,10 +590,12 @@ def attention_bshd(q, k, v, num_heads: int, *, impl: str = "auto"):
     b, s, hd = q.shape
     d = hd // num_heads
     on_tpu = jax.default_backend() == "tpu"
+    hpb = _pick_heads_per_block(num_heads, s, d)
     use_kernel = (
         impl in ("flash", "flash_interpret")
         or (impl == "auto" and on_tpu)
-    ) and (d % 8 == 0) and 8 <= s <= _MAX_BLOCK
+    ) and (d % 8 == 0) and 8 <= s <= _MAX_BLOCK \
+        and ((hpb * d) % 128 == 0 or hpb == num_heads)
     if use_kernel:
         interpret = impl == "flash_interpret" or not on_tpu
         return _bshd_attention(q, k, v, num_heads, interpret)

@@ -170,3 +170,19 @@ def test_qkv_fused_kernel_grads_match_xla(rng):
     np.testing.assert_allclose(
         np.asarray(f("flash_interpret")), np.asarray(f("xla")),
         atol=1e-4, rtol=1e-4)
+
+
+def test_qkv_small_head_width_fallback(rng):
+    """hpb*d below a 128-lane multiple cannot use the fused-qkv in-place
+    blocked specs (Mosaic block-width rule); attention_qkv must route to
+    the split path and stay correct (regression: tiny d=16 models crashed
+    the TPU compile inside wsi_inference)."""
+    from mipheivit_tpu.ops.attention import attention_bshd, attention_qkv
+
+    b, h, s, d = 2, 4, 258, 16          # h*d = 64: not a 128 multiple
+    qkv = rng.standard_normal((b, s, 3 * h * d)).astype(np.float32)
+    out = np.asarray(attention_qkv(jnp.array(qkv), h, impl="flash"))
+    q, k, v = np.split(qkv, 3, axis=-1)
+    ref = np.asarray(attention_bshd(
+        jnp.array(q), jnp.array(k), jnp.array(v), h, impl="xla"))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
