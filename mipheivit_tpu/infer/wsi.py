@@ -261,7 +261,10 @@ def wsi_inference(
         nonlocal device_wait_s
         pred_dev, coords, n = pending.popleft()
         t0 = time.perf_counter()
-        preds = np.asarray(pred_dev)[:n]
+        # fetch in f16 (half the transfer), but widen immediately: numpy
+        # f16 arithmetic is scalar-emulated (~50x slower) and would move
+        # the bottleneck into the feathered accumulator
+        preds = np.asarray(pred_dev)[:n].astype(np.float32)
         device_wait_s += time.perf_counter() - t0
         for pred, (tx, ty) in zip(preds, coords):
             rolling.add(pred, tx, ty, window)
@@ -283,6 +286,9 @@ def wsi_inference(
             xj = jax.device_put(xj, sharding)
         pending.append((fwd(variables, xj), coords, n))
         n_batches += 1
+        if n_batches % 4 == 0:
+            log.info("WSI progress: %d/%d tiles", n_batches * batch_size,
+                     len(locs))
         while len(pending) > dispatch_depth:
             _drain_one()
     while pending:
