@@ -2,6 +2,7 @@
 nuclei segmentation, expression matrix, gating)."""
 
 import json
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -395,8 +396,15 @@ runpy.run_path({str(REPO / 'preprocessings/mif_cleaning/mif_cleaning.py')!r},
                run_name="__main__")
 print("MAXRSS_MB", resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024)
 """
+    # cap allocator/thread fan-out in the child: under concurrent machine
+    # load glibc grows per-thread malloc arenas and BLAS/OpenMP pools spawn
+    # threads, inflating peak RSS by hundreds of MB independently of the
+    # code under test (observed as suite-context flakes of this assert)
+    child_env = dict(os.environ,
+                     MALLOC_ARENA_MAX="2", OMP_NUM_THREADS="1",
+                     OPENBLAS_NUM_THREADS="1", MKL_NUM_THREADS="1")
     res = subprocess.run([sys.executable, "-c", child], capture_output=True,
-                         text=True, timeout=900)
+                         text=True, timeout=900, env=child_env)
     assert res.returncode == 0, res.stderr[-2000:]
     rss_mb = int(res.stdout.strip().splitlines()[-1].split()[-1])
     # interpreter + numpy/cv2 baseline is ~200 MB; a slide-sized buffer
