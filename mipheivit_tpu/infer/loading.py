@@ -99,13 +99,17 @@ def cast_params(variables, dtype):
     """
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     if jnp.dtype(dtype) == jnp.float32:
         return variables
     out = dict(variables)
+    # numpy and jax leaves both expose .dtype — no asarray round trip
+    # (jnp.asarray here would upload every f32 leaf to device just to
+    # read its dtype)
     out["params"] = jax.tree.map(
         lambda p: p.astype(dtype)
-        if jnp.issubdtype(jnp.asarray(p).dtype, jnp.floating) else p,
+        if np.issubdtype(np.dtype(p.dtype), np.floating) else p,
         variables["params"])
     return out
 

@@ -270,6 +270,7 @@ def wsi_inference(
             rolling.add(pred, tx, ty, window)
 
     n_batches = 0
+    n_tiles_seen = 0
     while True:
         t0 = time.perf_counter()
         item = batch_q.get()
@@ -286,9 +287,9 @@ def wsi_inference(
             xj = jax.device_put(xj, sharding)
         pending.append((fwd(variables, xj), coords, n))
         n_batches += 1
+        n_tiles_seen += n
         if n_batches % 4 == 0:
-            log.info("WSI progress: %d/%d tiles", n_batches * batch_size,
-                     len(locs))
+            log.info("WSI progress: %d/%d tiles", n_tiles_seen, len(locs))
         while len(pending) > dispatch_depth:
             _drain_one()
     while pending:

@@ -107,7 +107,7 @@ def extract_histograms(reader: SlideReader, settings: dict,
 
 def apply_cleaning_wsi(reader: SlideReader, settings: dict, af_channel: int,
                        p99: np.ndarray, out_path: str, channel_names,
-                       tile_size: int = 2048, band_rows: int = 256):
+                       band_rows: int = 256):
     """Pass 2: full rewrite with log1p/p99 quantization to uint8, streamed
     through the banded pyramid writer — resident memory is one full-width
     row band (``n_ch * band_rows * W``), never the slide."""
@@ -158,8 +158,10 @@ def main():
     p99 = np.array([find_percentile_bin(hists[c], edges)
                     for c in range(reader.n_channels)])
     print("p99 per channel:", np.round(p99, 1))
+    # (--tile_size only affects pass 1's AF-lambda sampling; pass 2 streams
+    # full-width bands sized by --band_rows)
     apply_cleaning_wsi(reader, settings, args.af_channel, p99, args.out_path,
-                       names, args.tile_size, band_rows=args.band_rows)
+                       names, band_rows=args.band_rows)
     reader.close()
     print(f"cleaned WSI -> {args.out_path}")
 

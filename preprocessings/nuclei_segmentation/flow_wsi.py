@@ -24,7 +24,11 @@ from pathlib import Path
 
 import numpy as np
 
-from wsi_nuclei_inference import _banded_unique, _read_scaled  # noqa: E402
+from wsi_nuclei_inference import (  # noqa: E402
+    _read_scaled,
+    merge_owned_instances,
+    sequential_relabel,
+)
 
 
 def flow_segment_wsi(reader, flow_fn, compute_masks_fn,
@@ -44,7 +48,6 @@ def flow_segment_wsi(reader, flow_fn, compute_masks_fn,
         scale = reader.mpp / float(target_mpp)
     vw, vh = max(int(round(w * scale)), 1), max(int(round(h * scale)), 1)
 
-    own_scratch = scratch_dir is None
     scratch = Path(scratch_dir or tempfile.mkdtemp(prefix="flowseg_"))
     scratch.mkdir(parents=True, exist_ok=True)
     dp = np.memmap(scratch / "dp.f16", np.float16, "w+", shape=(2, vh, vw))
@@ -82,36 +85,19 @@ def flow_segment_wsi(reader, flow_fn, compute_masks_fn,
             tile_labels = np.asarray(
                 compute_masks_fn(chunk_dp, chunk_prob), np.int32)
 
-            core = np.zeros_like(tile_labels, bool)
-            core[ty - y0: min(ty + tile_size, vh) - y0,
-                 tx - x0: min(tx + tile_size, vw) - x0] = True
-            ids = np.unique(tile_labels[tile_labels > 0])
-            keep = [lab for lab in ids
-                    if (tile_labels == lab)[core].sum() * 2
-                    >= (tile_labels == lab).sum()]
-            if not keep:
-                continue
-            remap = np.zeros(int(tile_labels.max()) + 1, np.int32)
-            for j, lab in enumerate(keep):
-                remap[lab] = next_id + j + 1
-            next_id += len(keep)
-            owned = remap[tile_labels]
-            region = labels[y0:y1, x0:x1]
-            region[owned > 0] = owned[owned > 0]
-            labels[y0:y1, x0:x1] = region
+            next_id = merge_owned_instances(
+                labels, tile_labels, tx, ty, x0, y0, x1, y1,
+                tile_size, next_id, vh, vw)
 
-    uniq = _banded_unique(labels)
-    lut = np.zeros(next_id + 1, np.int32)
-    lut[uniq] = np.arange(1, len(uniq) + 1, dtype=np.int32)
-    for y in range(0, vh, 4096):
-        labels[y:y + 4096] = lut[np.asarray(labels[y:y + 4096])]
+    sequential_relabel(labels, next_id)
 
     for name in ("dp.f16", "prob.f16", "count.u8"):
         (scratch / name).unlink(missing_ok=True)
-    if own_scratch:
-        # caller gets the open memmap; directory removed when it is closed
-        # is not possible portably, so leave labels.i32 and note the path
-        labels.cleanup_dir = str(scratch)  # type: ignore[attr-defined]
+    # the caller gets an open memmap backed by labels.i32, so the scratch
+    # dir cannot be removed here; record it (whoever supplied scratch_dir
+    # included) so cleanup_flow_scratch() can reclaim the slide-sized
+    # int32 plane once the labels are no longer needed
+    labels.cleanup_dir = str(scratch)  # type: ignore[attr-defined]
     return labels
 
 

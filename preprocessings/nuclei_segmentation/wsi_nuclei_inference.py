@@ -66,6 +66,44 @@ def _banded_unique(labels: np.ndarray, band_rows: int = 4096) -> np.ndarray:
     return uniq[uniq > 0]
 
 
+def merge_owned_instances(labels, tile_labels, tx, ty, x0, y0, x1, y1,
+                          tile_size: int, next_id: int, vh: int, vw: int
+                          ) -> int:
+    """Interior-ownership merge shared by both WSI segmentation paths:
+    keep instances whose pixels majority-fall inside the halo-free core,
+    remap survivors to globally unique ids, and write them into the labels
+    plane (reference merge rule: cellpose_wsi_inference.py:225-249).
+    Returns the updated ``next_id``."""
+    core = np.zeros_like(tile_labels, bool)
+    core[ty - y0: min(ty + tile_size, vh) - y0,
+         tx - x0: min(tx + tile_size, vw) - x0] = True
+    ids = np.unique(tile_labels[tile_labels > 0])
+    keep = []
+    for lab in ids:
+        mask = tile_labels == lab
+        if mask[core].sum() * 2 >= mask.sum():
+            keep.append(lab)
+    if not keep:
+        return next_id
+    remap = np.zeros(int(tile_labels.max()) + 1, np.int32)
+    for j, lab in enumerate(keep):
+        remap[lab] = next_id + j + 1
+    owned = remap[tile_labels]
+    region = labels[y0:y1, x0:x1]
+    region[owned > 0] = owned[owned > 0]
+    labels[y0:y1, x0:x1] = region
+    return next_id + len(keep)
+
+
+def sequential_relabel(labels, next_id: int, band: int = 4096) -> None:
+    """Compact label ids to 1..N in place, band-wise (memmap-safe)."""
+    uniq = _banded_unique(labels)
+    lut = np.zeros(next_id + 1, np.int32)
+    lut[uniq] = np.arange(1, len(uniq) + 1, dtype=np.int32)
+    for y in range(0, labels.shape[0], band):
+        labels[y:y + band] = lut[np.asarray(labels[y:y + band])]
+
+
 def segment_wsi(reader: SlideReader, segment_fn, tile_size: int = 2048,
                 halo: int = 128, dapi_channel=0,
                 scratch_path: str = None,
@@ -98,37 +136,11 @@ def segment_wsi(reader: SlideReader, segment_fn, tile_size: int = 2048,
             else:
                 tile_labels = segment_fn(tile[..., dapi_channel])
 
-            # interior ownership: keep instances whose pixels majority-fall
-            # inside the halo-free core (reference merge rule :225-249)
-            core = np.zeros_like(tile_labels, bool)
-            core[ty - y0: min(ty + tile_size, vh) - y0,
-                 tx - x0: min(tx + tile_size, vw) - x0] = True
-            ids = np.unique(tile_labels[tile_labels > 0])
-            if len(ids) == 0:
-                continue
-            keep = []
-            for lab in ids:
-                mask = tile_labels == lab
-                if mask[core].sum() * 2 >= mask.sum():
-                    keep.append(lab)
-            if not keep:
-                continue
-            remap = np.zeros(int(tile_labels.max()) + 1, np.int32)
-            for j, lab in enumerate(keep):
-                remap[lab] = next_id + j + 1
-            next_id += len(keep)
-            owned = remap[tile_labels]
-            region = labels[y0:y1, x0:x1]
-            region[owned > 0] = owned[owned > 0]
-            labels[y0:y1, x0:x1] = region
+            next_id = merge_owned_instances(
+                labels, tile_labels, tx, ty, x0, y0, x1, y1,
+                tile_size, next_id, vh, vw)
 
-    # sequential relabel, band-wise (no full-plane sort/copy)
-    uniq = _banded_unique(labels)
-    lut = np.zeros(next_id + 1, np.int32)
-    lut[uniq] = np.arange(1, len(uniq) + 1, dtype=np.int32)
-    band = 4096
-    for y in range(0, vh, band):
-        labels[y:y + band] = lut[np.asarray(labels[y:y + band])]
+    sequential_relabel(labels, next_id)
     return labels
 
 
@@ -198,7 +210,12 @@ def main():
     out_mpp = (args.target_mpp or reader.mpp) if reader.mpp else 0.0
     stream_labels_pyramid(labels, args.out_path, out_mpp, args.expansion_px)
     n = int(labels.max())
-    del labels
+    if args.flow_averaging:
+        from flow_wsi import cleanup_flow_scratch
+
+        cleanup_flow_scratch(labels)   # removes the flow scratch dir
+    else:
+        del labels
     Path(scratch).unlink(missing_ok=True)
     reader.close()
     print(f"{n} nuclei -> {args.out_path}")

@@ -25,6 +25,7 @@ def main():
                for kk in jax.random.split(key, 3))
 
     def slope(fn, *args, sizes=(4, 16)):
+        operands = args if args else (q, k, v)
         times = []
         for n in sizes:
             @jax.jit
@@ -33,9 +34,10 @@ def main():
                     out = fn(q + (seed + i.astype(jnp.bfloat16)) * 1e-3, k, v)
                     return c + out.mean().astype(jnp.float32), None
                 return jax.lax.scan(body, 0.0, jnp.arange(n))[0]
-            float(loop(q, k, v, 0.0))
+            float(loop(*operands, 0.0))
             t0 = time.time()
-            float(loop(q, k, v, float(np.random.default_rng().integers(1, 1 << 20))))
+            float(loop(*operands,
+                       float(np.random.default_rng().integers(1, 1 << 20))))
             times.append(time.time() - t0)
         return (times[1] - times[0]) / (sizes[1] - sizes[0])
 

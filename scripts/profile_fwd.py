@@ -56,9 +56,15 @@ def main():
     from mipheivit_tpu.models import vit as vit_mod
 
     if variant == "enc_noattn":
-        def fake_attn(q, k, v, *, impl="auto"):
+        # vit.py consumes attention_qkv / attention_bshd (fused-qkv layout)
+        def fake_attn_qkv(qkv, num_heads, *, impl="auto"):
+            hd = qkv.shape[-1] // 3
+            return qkv[..., 2 * hd:]
+
+        def fake_attn_bshd(q, k, v, num_heads, *, impl="auto"):
             return v
-        vit_mod.dot_product_attention = fake_attn
+        vit_mod.attention_qkv = fake_attn_qkv
+        vit_mod.attention_bshd = fake_attn_bshd
 
     cfg = compose(["+default_configs=miphei-vit"])
     dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
@@ -81,25 +87,26 @@ def main():
         jax.block_until_ready(params)
         per = slope_time(lambda p, xx: enc.apply(p, xx), params, x)
     elif variant == "decoder":
+        # decoder only: drive DetailCapture directly with the full model's
+        # decoder params and a fixed fake encoder feature map
         from mipheivit_tpu.infer.loading import to_fast_heads
+        from mipheivit_tpu.models.mipheivit import DetailCapture
+
         params_full = jax.jit(
             lambda k: model.init(k, jnp.zeros((1, 256, 256, 3)), train=False)
         )(jax.random.PRNGKey(0))
         model2, params2 = to_fast_heads(model, params_full)
-
-        # decode path only: feed a fixed fake encoder feature map via the
-        # model's decoder module
-        dec = model2.bind(params2)
+        dc = DetailCapture(16, fast_heads=True)
+        dvars = {"params": params2["params"]["decoder"],
+                 "batch_stats": params2["batch_stats"]["decoder"]}
         x = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3))
+        cd = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         feats = jax.random.normal(
             jax.random.PRNGKey(2), (batch, 16, 16, model2.vit_cfg.embed_dim),
-            jnp.bfloat16)
-
-        def fwd(p, xx):
-            return model2.apply(p, xx, train=False,
-                                method=getattr(model2, "decode", None)) \
-                if hasattr(model2, "decode") else model2.apply(p, xx, train=False)
-        per = slope_time(fwd, params2, x)
+            cd)
+        per = slope_time(
+            lambda p, xx: dc.apply(p, feats, xx.astype(cd), train=False),
+            dvars, x)
     else:
         from mipheivit_tpu.infer.loading import to_fast_heads
         params = jax.jit(

@@ -90,7 +90,7 @@ def test_mif_cleaning(wsi_pair, tmp_path):
     assert (p99 > 0).all()
     out_path = str(tmp_path / "clean.ome.tiff")
     apply_cleaning_wsi(reader, settings, 0, p99, out_path,
-                       ["AF", "CD31", "x", "y"], tile_size=128, band_rows=48)
+                       ["AF", "CD31", "x", "y"], band_rows=48)
     ts = TiffSlide(out_path)
     assert ts.n_channels == 4 and ts.dtype == np.uint8
     # band-streamed output matches the whole-plane formula bit-for-bit
