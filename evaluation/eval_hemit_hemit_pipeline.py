@@ -32,6 +32,9 @@ def main():
     parser.add_argument("--checkpoint_dir", type=str, required=True)
     parser.add_argument("--dataset_config_path", default=DATASET_CONFIG_PATH)
     parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--netG", default="SwinTResnet",
+                        help="HEMIT generator variant (reference "
+                             "get_generator_hemit netG names)")
     parser.add_argument("--new_timm_layout", action="store_true")
     args = parser.parse_args()
 
@@ -48,7 +51,8 @@ def main():
         sample.shape[1], sample.shape[0], train=True)
     nc_out = len(cfg.data.targ_channel_names)
     fwd = build_hemit_forward(args.checkpoint_dir, width // 2, nc_out,
-                              old_timm_layout=not args.new_timm_layout)
+                              old_timm_layout=not args.new_timm_layout,
+                              netG=args.netG)
 
     cell_metrics = run_cell_accumulation(
         cfg, fwd, dataframe, slide_df, crop=width,

@@ -33,11 +33,18 @@ DATASET_CONFIG_PATH = str(Path(__file__).parent.parent
 
 
 def build_hemit_forward(checkpoint_dir: str, width: int, nc_out: int,
-                        old_timm_layout: bool = True):
+                        old_timm_layout: bool = True,
+                        netG: str = "SwinTResnet"):
+    """Load any HEMIT-codebase generator (reference netG dispatch:
+    src/generators/hemit_models.py:16-110 via get_generator_hemit)."""
     import jax
 
+    from mipheivit_tpu.models.hemit import build_hemit_netG
+    from mipheivit_tpu.models.import_hemit import (
+        hybrid_swint_from_torch, hybrid_swint2_from_torch,
+        swin_unet_from_torch)
+
     dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
-    model = build_hemit(width, 3, nc_out, dtype=dtype)
     ckpt = None
     for name in ("latest_net_G.pth", "model.pth", "net_G.pth"):
         cand = Path(checkpoint_dir) / name
@@ -47,8 +54,20 @@ def build_hemit_forward(checkpoint_dir: str, width: int, nc_out: int,
     if ckpt is None:
         raise FileNotFoundError(
             f"no HEMIT generator checkpoint in {checkpoint_dir}")
-    params, stats = hemit_swint_from_torch(
-        load_state_dict(ckpt), model, old_timm_layout=old_timm_layout)
+    state = load_state_dict(ckpt)
+    if netG == "SwinTResnet":
+        model = build_hemit(width, 3, nc_out, dtype=dtype)
+        params, stats = hemit_swint_from_torch(
+            state, model, old_timm_layout=old_timm_layout)
+    else:
+        model = build_hemit_netG(netG, width, 3, nc_out, dtype=dtype)
+        importer = {"swinT": hybrid_swint_from_torch,
+                    "swinT_old": hybrid_swint2_from_torch,
+                    "SwinTUnet": swin_unet_from_torch}.get(netG)
+        if importer is None:
+            raise NotImplementedError(
+                f"no checkpoint importer for netG={netG!r}")
+        params, stats = importer(state, model, (width, width))
     variables = {"params": params, "batch_stats": stats}
     return jax.jit(lambda x: model.apply(variables, x, train=False))
 
@@ -58,6 +77,9 @@ def main():
     parser.add_argument("--checkpoint_dir", type=str, required=True)
     parser.add_argument("--dataset_config_path", default=DATASET_CONFIG_PATH)
     parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--netG", default="SwinTResnet",
+                        help="HEMIT generator variant (reference "
+                             "get_generator_hemit netG names)")
     parser.add_argument("--new_timm_layout", action="store_true",
                         help="skip the old-timm downsample key shift")
     args = parser.parse_args()
@@ -74,7 +96,8 @@ def main():
         sample.shape[1], sample.shape[0], train=True)
     nc_out = len(cfg.data.targ_channel_names)
     fwd = build_hemit_forward(args.checkpoint_dir, width, nc_out,
-                              old_timm_layout=not args.new_timm_layout)
+                              old_timm_layout=not args.new_timm_layout,
+                              netG=args.netG)
 
     cell_metrics = run_cell_accumulation(
         cfg, fwd, dataframe, slide_df, crop=min(256, width),

@@ -294,3 +294,48 @@ def build_hemit(img_size, nc_in: int, nc_out: int, cfg=None,
     swin_cfg = SwinConfig(img_size=img_size, dtype=dtype)
     return ResnetGeneratorSwinT(out_channels=nc_out, ngf=64, n_blocks=6,
                                 norm="batch", swin_cfg=swin_cfg)
+
+
+def build_hemit_netG(netG: str, img_size, nc_in: int, nc_out: int,
+                     dtype: str = "float32", norm: str = "batch",
+                     use_dropout: bool = False):
+    """Full ``get_generator_hemit`` dispatch
+    (reference: src/generators/hemit_models.py:16-110).
+
+    netG: resnet_9blocks | resnet_6blocks | unet_128 | unet_256 | unet_1024
+          | swinT (HybridSwinT) | swinT_old (HybridSwinT_2)
+          | SwinTUnet (SwinUnetGenerator) | SwinTResnet (the paper model).
+    """
+    if isinstance(img_size, int):
+        img_size = (img_size, img_size)
+    if netG in ("resnet_9blocks", "resnet_6blocks"):
+        return ResnetGenerator(out_channels=nc_out, ngf=64,
+                               n_blocks=9 if netG.endswith("9blocks") else 6,
+                               norm=norm)
+    if netG in ("unet_128", "unet_256", "unet_1024"):
+        num_downs = {"unet_128": 7, "unet_256": 8, "unet_1024": 10}[netG]
+        return UnetGenerator(out_channels=nc_out, num_downs=num_downs,
+                             ngf=64, norm=norm)
+    if netG == "swinT":
+        from .hemit_hybrid import HybridSwinT
+
+        return HybridSwinT(out_channels=nc_out, depths=(1, 1, 3, 1),
+                           window_size=8, dtype=dtype)
+    if netG == "swinT_old":
+        from .hemit_hybrid import HybridSwinT_2
+
+        return HybridSwinT_2(out_channels=nc_out, depths=(2, 2, 6, 2),
+                             window_size=8, dtype=dtype)
+    if netG == "SwinTUnet":
+        from .hemit_hybrid import SwinUnetGenerator
+
+        # factory: patch 32, window 64 for 1024-px crops — scale the patch
+        # with the crop so the Swin pyramid lands on the 16/8/4 U-Net taps
+        patch = max(1, img_size[0] // 32)
+        num_downs = int(np.log2(img_size[0]))   # 10 for the 1024-px crops
+        return SwinUnetGenerator(out_channels=nc_out, num_downs=num_downs,
+                                 patch_size=patch, window_size=64,
+                                 dtype=dtype)
+    if netG == "SwinTResnet":
+        return build_hemit(img_size, nc_in, nc_out, dtype=dtype)
+    raise NotImplementedError(f"unknown netG {netG!r}")

@@ -129,3 +129,177 @@ def hemit_swint_from_torch(state: Dict[str, np.ndarray], model,
 
     params["final_conv"] = _conv_p(state, "final_layers.1")
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# The three Swin-hybrid baselines (models.hemit_hybrid) — torch layouts per
+# reference src/generators/hemit_models.py:489 (HybridSwinT), :684
+# (HybridSwinT_2), :800 (SwinUnetGenerator).
+
+
+def _swin_branch(state, swin_cfg, torch_prefix: str):
+    sub = {k[len(torch_prefix):]: v for k, v in state.items()
+           if k.startswith(torch_prefix)}
+    return swin_params_from_torch(sub, swin_cfg)
+
+
+def _cnn_stage(state, conv_key: str, bn_key: str):
+    p = {"conv": _conv_p(state, conv_key)}
+    bp, bs = _bn_pair(state, bn_key)
+    p["bn"] = bp
+    return p, {"bn": bs}
+
+
+def hybrid_swint_from_torch(state, model, img_size) -> Tuple[Dict, Dict]:
+    """-> (params, batch_stats) for ``hemit_hybrid.HybridSwinT``.
+
+    torch layout: cnn_block.{4i conv, 4i+1 bn} per stage (conv/bn/relu/pool
+    Sequential), ``model.*`` timm Swin, ``decoder.upsample_and_conv{k}.1``
+    (conv inside Sequential(Upsample, Conv)) and ``decoder.conv{1..6}``."""
+    state = generator_state_dict(state)
+    params: Dict = {}
+    stats: Dict = {}
+    for i in range(len(model.cnn_channels)):
+        p, s = _cnn_stage(state, f"cnn_block.{4 * i}", f"cnn_block.{4 * i + 1}")
+        params[f"cnn{i}"] = p
+        stats[f"cnn{i}"] = s
+
+    from .swin import SwinConfig
+
+    post_cnn = (img_size[0] // 2 ** len(model.cnn_channels),
+                img_size[1] // 2 ** len(model.cnn_channels))
+    swin_cfg = SwinConfig(
+        img_size=post_cnn, patch_size=model.patch_size,
+        embed_dim=model.embed_dim, depths=tuple(model.depths),
+        num_heads=tuple(model.num_heads), window_size=model.window_size,
+        qkv_bias=False)
+    params["swinT"], sstats = _swin_branch(state, swin_cfg, "model.")
+    if sstats:
+        stats["swinT"] = sstats
+
+    for k in range(1, 9):
+        params[f"upsample_and_conv{k}"] = {
+            "conv": _conv_p(state, f"decoder.upsample_and_conv{k}.1")}
+    for k in range(1, 7):
+        params[f"conv{k}"] = _conv_p(state, f"decoder.conv{k}")
+    return params, stats
+
+
+def hybrid_swint2_from_torch(state, model, img_size) -> Tuple[Dict, Dict]:
+    """-> (params, batch_stats) for ``hemit_hybrid.HybridSwinT_2``.
+
+    torch layout: cnn_block.{0,1} + .{4,5}, ``model.*`` timm Swin,
+    ``decoder.upsample{1..3}`` (ConvTranspose2d k2 s2), ``decoder.conv{1..3}``,
+    ``decoder.final_upsample_layers.{i}``."""
+    state = generator_state_dict(state)
+    params: Dict = {}
+    stats: Dict = {}
+    for i, slot in enumerate((0, 4)):
+        p, s = _cnn_stage(state, f"cnn_block.{slot}", f"cnn_block.{slot + 1}")
+        params[f"cnn{i}"] = p
+        stats[f"cnn{i}"] = s
+
+    from .swin import SwinConfig
+
+    post_cnn = (img_size[0] // 4, img_size[1] // 4)
+    swin_cfg = SwinConfig(
+        img_size=post_cnn, patch_size=model.patch_size,
+        embed_dim=model.embed_dim, depths=tuple(model.depths),
+        num_heads=tuple(model.num_heads), window_size=model.window_size,
+        qkv_bias=False)
+    params["swinT"], sstats = _swin_branch(state, swin_cfg, "model.")
+    if sstats:
+        stats["swinT"] = sstats
+
+    for k in range(1, 4):
+        params[f"upsample{k}"] = {
+            "kernel": _convT(np.asarray(state[f"decoder.upsample{k}.weight"])),
+            "bias": np.asarray(state[f"decoder.upsample{k}.bias"])}
+        params[f"conv{k}"] = _conv_p(state, f"decoder.conv{k}")
+    n_final = int(np.log2(model.patch_size)) + 2
+    for i in range(n_final):
+        params[f"final_up{i}"] = {
+            "kernel": _convT(np.asarray(
+                state[f"decoder.final_upsample_layers.{i}.weight"])),
+            "bias": np.asarray(
+                state[f"decoder.final_upsample_layers.{i}.bias"])}
+    return params, stats
+
+
+def _vit_block_from_torch(state, base: str) -> Dict:
+    """HEMIT Cross_Att's 1-depth pre-norm transformer
+    (reference Transformer :948-965): layers.0.0 = PreNorm(Attention),
+    layers.0.1 = PreNorm(FeedForward)."""
+    return {
+        "attn_norm": {"scale": np.asarray(state[f"{base}.layers.0.0.norm.weight"]),
+                      "bias": np.asarray(state[f"{base}.layers.0.0.norm.bias"])},
+        "to_qkv": {"kernel": _t(np.asarray(
+            state[f"{base}.layers.0.0.fn.to_qkv.weight"]))},
+        "to_out": {"kernel": _t(np.asarray(
+            state[f"{base}.layers.0.0.fn.to_out.0.weight"])),
+            "bias": np.asarray(state[f"{base}.layers.0.0.fn.to_out.0.bias"])},
+        "ff_norm": {"scale": np.asarray(state[f"{base}.layers.0.1.norm.weight"]),
+                    "bias": np.asarray(state[f"{base}.layers.0.1.norm.bias"])},
+        "ff_fc1": {"kernel": _t(np.asarray(
+            state[f"{base}.layers.0.1.fn.net.0.weight"])),
+            "bias": np.asarray(state[f"{base}.layers.0.1.fn.net.0.bias"])},
+        "ff_fc2": {"kernel": _t(np.asarray(
+            state[f"{base}.layers.0.1.fn.net.3.weight"])),
+            "bias": np.asarray(state[f"{base}.layers.0.1.fn.net.3.bias"])},
+    }
+
+
+def swin_unet_from_torch(state, model, img_size) -> Tuple[Dict, Dict]:
+    """-> (params, batch_stats) for ``hemit_hybrid.SwinUnetGenerator``.
+
+    torch layout: down_layers.{i}.{0 conv, 2 bn} (innermost has no bn),
+    up_layers.{i}.{0 deconv, 2 bn}, final_layer.0, ``swinT.*`` timm Swin,
+    cross_atts.{j}.{gate.0, norm_swinT, linear_swinT, transformer_unet.*}.
+    The reference's unused Cross_Att submodules (transformer_swinT,
+    norm_unet, linear_unet) are ignored."""
+    state = generator_state_dict(state)
+    params: Dict = {}
+    stats: Dict = {}
+    for i in range(model.num_downs):
+        params[f"down{i}"] = _conv_p(state, f"down_layers.{i}.0")
+        if i != model.num_downs - 1:
+            bp, bs = _bn_pair(state, f"down_layers.{i}.2")
+            params[f"down{i}_norm"] = bp
+            stats[f"down{i}_norm"] = bs
+
+    from .swin import SwinConfig
+
+    swin_cfg = SwinConfig(
+        img_size=tuple(img_size), patch_size=model.patch_size,
+        embed_dim=model.embed_dim, depths=tuple(model.depths),
+        num_heads=tuple(model.num_heads), window_size=model.window_size,
+        qkv_bias=True)
+    params["swinT"], sstats = _swin_branch(state, swin_cfg, "swinT.")
+    if sstats:
+        stats["swinT"] = sstats
+
+    for j in range(3):
+        base = f"cross_atts.{j}"
+        params[f"cross_att{j}"] = {
+            "gate": _conv_p(state, f"{base}.gate.0"),
+            "norm_swinT": {"scale": np.asarray(state[f"{base}.norm_swinT.weight"]),
+                           "bias": np.asarray(state[f"{base}.norm_swinT.bias"])},
+            "linear_swinT": {"kernel": _t(np.asarray(
+                state[f"{base}.linear_swinT.weight"])),
+                "bias": np.asarray(state[f"{base}.linear_swinT.bias"])},
+            "transformer_unet": _vit_block_from_torch(
+                state, f"{base}.transformer_unet"),
+        }
+
+    n_up = model.num_downs - 1
+    for i in range(n_up):
+        params[f"up{i}"] = {
+            "kernel": _convT(np.asarray(state[f"up_layers.{i}.0.weight"])),
+            "bias": np.asarray(state[f"up_layers.{i}.0.bias"])}
+        bp, bs = _bn_pair(state, f"up_layers.{i}.2")
+        params[f"up{i}_norm"] = bp
+        stats[f"up{i}_norm"] = bs
+    params["up_final"] = {
+        "kernel": _convT(np.asarray(state["final_layer.0.weight"])),
+        "bias": np.asarray(state["final_layer.0.bias"])}
+    return params, stats

@@ -552,12 +552,14 @@ def swin_params_from_torch(state, cfg, prefix: str = "") -> Dict:
                 qkv_base = qkv_base + ".qkv"
             table = get(f"{base}.attn.relative_position_bias_table")
             table = resize_rel_pos_bias_table(table, eff_window)
+            qkv_p = {"kernel": _t(get(f"{qkv_base}.weight"))}
+            if has(f"{qkv_base}.bias"):    # qkv_bias=False in the HEMIT hybrids
+                qkv_p["bias"] = get(f"{qkv_base}.bias")
             blk = {
                 "norm1": {"scale": get(f"{base}.norm1.weight"),
                           "bias": get(f"{base}.norm1.bias")},
                 "attn": {
-                    "qkv": {"kernel": _t(get(f"{qkv_base}.weight")),
-                            "bias": get(f"{qkv_base}.bias")},
+                    "qkv": qkv_p,
                     "proj": {"kernel": _t(get(f"{base}.attn.proj.weight")),
                              "bias": get(f"{base}.attn.proj.bias")},
                     "relative_position_bias_table": table,

@@ -51,6 +51,7 @@ def resize_matrix(
     method: str = "bicubic",
     antialias: bool = False,
     dtype=np.float32,
+    align_corners: bool = False,
 ) -> np.ndarray:
     """Dense [out_size, in_size] resampling matrix, torch semantics.
 
@@ -58,6 +59,9 @@ def resize_matrix(
     image are clamped to the border (replicate), exactly like torch's
     upsampling kernels. With ``antialias=True`` the kernel is stretched by
     the scale factor on downscale (torch ``antialias=True`` / PIL behavior).
+    With ``align_corners=True`` the grid is src = i * (in-1)/(out-1)
+    (torch ``nn.Upsample(align_corners=True)``, used by the HEMIT
+    Decoder_hbrid — reference: src/generators/hemit_models.py:585-607).
     """
     if method == "bicubic":
         # torch's two bicubic paths differ: the default (antialias=False)
@@ -74,6 +78,18 @@ def resize_matrix(
 
     scale = in_size / out_size
     out = np.zeros((out_size, in_size), np.float64)
+    if align_corners:
+        step = 0.0 if out_size == 1 else (in_size - 1) / (out_size - 1)
+        for i in range(out_size):
+            src = i * step
+            lo = int(np.floor(src - support)) + 1
+            hi = int(np.floor(src + support)) + 1
+            taps = np.arange(lo, hi + 1)
+            w = kernel(src - taps)
+            w = w / w.sum()
+            idx = np.clip(taps, 0, in_size - 1)
+            np.add.at(out[i], idx, w)
+        return out.astype(dtype)
     for i in range(out_size):
         if antialias:
             kscale = max(scale, 1.0)
@@ -100,6 +116,7 @@ def _resize_hw(
     out_hw: Tuple[int, int],
     method: str,
     antialias: bool = False,
+    align_corners: bool = False,
 ) -> jnp.ndarray:
     """Resize the last two dims of ``x`` (any leading dims) separably."""
     in_h, in_w = x.shape[-2], x.shape[-1]
@@ -109,11 +126,13 @@ def _resize_hw(
     # HIGHEST precision: these matrices are tiny; full-f32 MXU passes keep
     # resampling bit-comparable with the fp32 torch reference.
     if out_h != in_h:
-        mh = jnp.asarray(resize_matrix(in_h, out_h, method, antialias))
+        mh = jnp.asarray(resize_matrix(in_h, out_h, method, antialias,
+                                       align_corners=align_corners))
         xf = jnp.einsum("oh,...hw->...ow", mh, xf,
                         precision=jax.lax.Precision.HIGHEST)
     if out_w != in_w:
-        mw = jnp.asarray(resize_matrix(in_w, out_w, method, antialias))
+        mw = jnp.asarray(resize_matrix(in_w, out_w, method, antialias,
+                                       align_corners=align_corners))
         xf = jnp.einsum("ow,...hw->...ho", mw, xf,
                         precision=jax.lax.Precision.HIGHEST)
     return xf.astype(dt)
@@ -133,6 +152,26 @@ def resize_bicubic(x, out_hw, antialias: bool = False):
 def resize_bilinear(x, out_hw, antialias: bool = False):
     """``F.interpolate(mode="bilinear", align_corners=False)`` parity."""
     return _resize_hw(x, tuple(out_hw), "bilinear", antialias)
+
+
+def resize_bilinear_nhwc(x, out_hw, align_corners: bool = False):
+    """Bilinear resize of NHWC ``x`` without layout changes (interp-matrix
+    einsums over the H and W axes). ``align_corners=True`` matches torch
+    ``nn.Upsample(mode="bilinear", align_corners=True)`` (HEMIT
+    Decoder_hbrid — reference: src/generators/hemit_models.py:585-607)."""
+    out_h, out_w = out_hw
+    b, h, w, c = x.shape
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    if out_h != h:
+        mh = jnp.asarray(resize_matrix(h, out_h, "bilinear",
+                                       align_corners=align_corners))
+        xf = jnp.einsum("oh,bhwc->bowc", mh, xf)
+    if out_w != w:
+        mw = jnp.asarray(resize_matrix(w, out_w, "bilinear",
+                                       align_corners=align_corners))
+        xf = jnp.einsum("ow,bhwc->bhoc", mw, xf)
+    return xf.astype(dt)
 
 
 def upsample2x_bilinear(x):

@@ -55,7 +55,8 @@ def _emit_timm_state(params, stats, cfg):
             sd[f"{base}.norm1.weight"] = blk["norm1"]["scale"]
             sd[f"{base}.norm1.bias"] = blk["norm1"]["bias"]
             sd[f"{base}.attn.qkv.weight"] = _inv_t(blk["attn"]["qkv"]["kernel"])
-            sd[f"{base}.attn.qkv.bias"] = blk["attn"]["qkv"]["bias"]
+            if "bias" in blk["attn"]["qkv"]:   # qkv_bias=False in HEMIT hybrids
+                sd[f"{base}.attn.qkv.bias"] = blk["attn"]["qkv"]["bias"]
             sd[f"{base}.attn.proj.weight"] = _inv_t(blk["attn"]["proj"]["kernel"])
             sd[f"{base}.attn.proj.bias"] = blk["attn"]["proj"]["bias"]
             sd[f"{base}.attn.relative_position_bias_table"] = \
