@@ -119,6 +119,27 @@ class Attention(nn.Module):
         return nn.Dense(d, name="proj", dtype=x.dtype)(out)
 
 
+class _SwigluFc1(nn.Module):
+    """fc1 with the packed value|gate halves and fused silu-gate.
+
+    Same param layout and initializers as ``nn.Dense(2*hidden)`` so
+    checkpoints are interchangeable; the compute goes through
+    ``ops.mlp.swiglu_fc1`` (fused Pallas kernel on TPU — both halves are
+    computed per output tile and only the gated product is stored, so the
+    [M, 2H] intermediate never reaches HBM; XLA reference elsewhere)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], 2 * self.hidden))
+        bias = self.param("bias", nn.initializers.zeros, (2 * self.hidden,))
+        from ..ops.mlp import swiglu_fc1
+
+        return swiglu_fc1(x, kernel, bias)
+
+
 class Mlp(nn.Module):
     cfg: ViTConfig
 
@@ -129,9 +150,7 @@ class Mlp(nn.Module):
         if cfg.mlp_type == "swiglu":
             # timm SwiGLUPacked / GluMlp(gate_last=False): fc1 packs value|gate
             # halves; silu(first) * second.
-            x12 = nn.Dense(2 * cfg.mlp_hidden_dim, name="fc1", dtype=x.dtype)(x)
-            x1, x2 = jnp.split(x12, 2, axis=-1)
-            h = nn.silu(x1) * x2
+            h = _SwigluFc1(cfg.mlp_hidden_dim, name="fc1")(x)
         elif cfg.mlp_type == "gelu":
             h = nn.Dense(cfg.mlp_hidden_dim, name="fc1", dtype=x.dtype)(x)
             h = nn.gelu(h, approximate=False)
