@@ -47,9 +47,20 @@ class SlideReader:
     def _handle(self) -> TiffSlide:
         h = getattr(self._local, "handle", None)
         if h is None:
-            h = TiffSlide(self.slide_path)
+            h = self._open_backend()
             self._local.handle = h
         return h
+
+    def _open_backend(self):
+        """Native libtiff engine, except NDPI's single-strip JPEG layout
+        which routes to the pure-Python restart-marker band decoder
+        (reference reads NDPI via openslide — read_pyramid.py:31-40)."""
+        if self.slide_path.lower().endswith(".ndpi"):
+            from .ndpi import NdpiSlide, is_ndpi_strip_jpeg
+
+            if is_ndpi_strip_jpeg(self.slide_path):
+                return NdpiSlide(self.slide_path)
+        return TiffSlide(self.slide_path)
 
     def reset(self):
         """Drop cached handles (called in worker init, reference:
