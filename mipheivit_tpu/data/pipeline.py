@@ -172,13 +172,23 @@ def device_prefetch(iterator, mesh=None, size: int = 2,
         from ..parallel import batch_sharding
 
         sharding = batch_sharding(mesh)
+    multiprocess = jax.process_count() > 1
 
     def put(batch):
         out = dict(batch)
         for key in device_keys:
             if key in out and isinstance(out[key], np.ndarray):
-                out[key] = jax.device_put(out[key], sharding) \
-                    if sharding is not None else jax.device_put(out[key])
+                if sharding is not None and multiprocess:
+                    # multi-host: each process holds its disjoint loader
+                    # shard; assemble the global batch (axis 0 = all hosts'
+                    # rows) without any cross-host data movement — each
+                    # host's rows land on its own devices
+                    out[key] = jax.make_array_from_process_local_data(
+                        sharding, np.ascontiguousarray(out[key]))
+                elif sharding is not None:
+                    out[key] = jax.device_put(out[key], sharding)
+                else:
+                    out[key] = jax.device_put(out[key])
         return out
 
     buf = collections.deque()
