@@ -120,7 +120,11 @@ def make_train_step(model, loss_reconstruct: Callable, gen_optimizer,
             gen_params = combine_params(gen_params, frozen)
         variables = {"params": gen_params, "batch_stats": state.gen_batch_stats}
         out, mutated = model.apply(
-            variables, x, train=True, mutable=["batch_stats"]
+            variables, x, train=True, mutable=["batch_stats"],
+            # dropout-carrying generators (SMP U-Net decoder blocks,
+            # reference configs/model/unet.yaml dropout: 0.1) draw from the
+            # per-step rng; models without dropout ignore it
+            rngs={"dropout": rng},
         )
         if cfg.foreground_head:
             fake, fg_logits = out

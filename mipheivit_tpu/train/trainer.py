@@ -314,18 +314,32 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
         slog_sums: Optional[Dict] = None
         slog_last: Optional[Dict] = None
         nan_any = None
+        nan_step = None   # device-side min step index with a NaN output
+        _NO_NAN = np.int32(np.iinfo(np.int32).max)
         slog_count = 0
 
         def sync_and_check_nan():
             """One blocking fetch: latest scalars + OR of all NaN flags
-            since the last check. Returns the latest host-side scalars."""
+            since the last check. Returns the latest host-side scalars.
+
+            The first-NaN step index is tracked on device (a min over
+            per-step ``where(nan, step, INT_MAX)``) so the forensic export
+            names the offending step exactly even though the fetch only
+            happens every ``log_every`` steps — same forensics as the
+            reference's per-step check (src/models.py:102-105) without its
+            per-step host sync."""
             nonlocal nan_any
             if slog_last is None:
                 return {}
-            fetched = jax.device_get({"last": slog_last, "nan": nan_any})
+            fetched = jax.device_get(
+                {"last": slog_last, "nan": nan_any, "nan_step": nan_step})
             if bool(fetched["nan"]):
+                first = int(fetched["nan_step"])
                 export_checkpoint("weights_nan")
-                raise ValueError("Nan found")  # reference: models.py:105
+                (logdir / "weights_nan.step").write_text(f"{first}\n")
+                raise ValueError(
+                    f"Nan found (first at step {first})"
+                )  # reference: models.py:105
             return {k: float(v) for k, v in fetched["last"].items()}
 
         for i, batch in enumerate(device_prefetch(loader, mesh=mesh, size=2)):
@@ -346,12 +360,15 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
             scalars = {k: v for k, v in slog.items() if k != "nan"}
             slog_last = scalars
             slog_count += 1
+            step_if_nan = jnp.where(nan_flag, jnp.int32(global_step), _NO_NAN)
             if slog_sums is None:
                 slog_sums = scalars
                 nan_any = nan_flag
+                nan_step = step_if_nan
             else:
                 slog_sums = jax.tree.map(jnp.add, slog_sums, scalars)
                 nan_any = jnp.logical_or(nan_any, nan_flag)
+                nan_step = jnp.minimum(nan_step, step_if_nan)
             if global_step % log_every == 0:
                 logger.log(sync_and_check_nan(), step=global_step)
             if global_step % 1000 == 1:

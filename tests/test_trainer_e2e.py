@@ -160,3 +160,35 @@ def test_test_driver(synthetic_run, monkeypatch):
     assert np.isfinite(results["test_psnr"])
     assert np.isfinite(results["val_cell_auc"])
     assert (logdir / "test_dataframe_cell.csv").exists()
+
+
+def test_nan_guard_forensics(synthetic_run, monkeypatch):
+    """First-NaN forensics: the device-side accumulator names the exact
+    offending step even though scalars are only fetched every ``log_every``
+    steps (reference dumps on the same step, src/models.py:102-105)."""
+    import jax.numpy as jnp
+    import mipheivit_tpu.train.trainer as trainer_mod
+    from mipheivit_tpu.train.trainer import train_patchgan
+
+    cfg, tmp_path = synthetic_run
+    cfg.train.epochs = 1
+    cfg.train.gan_train = False
+    cfg.train.use_cell_metrics = False
+    cfg.train.callbacks.modelcheckpoint.monitor = "val_gen_loss_sim"
+    cfg.train.callbacks.modelcheckpoint.mode = "min"
+
+    real_prefetch = trainer_mod.device_prefetch
+
+    def corrupting_prefetch(loader, mesh=None, size=2):
+        for i, batch in enumerate(real_prefetch(loader, mesh=mesh, size=size)):
+            if i == 1:  # second train batch -> NaN output at global step 2
+                batch = dict(batch)
+                batch["image"] = batch["image"] * jnp.float32(np.nan)
+            yield batch
+
+    monkeypatch.setattr(trainer_mod, "device_prefetch", corrupting_prefetch)
+    logdir = tmp_path / "nan_run"
+    with pytest.raises(ValueError, match=r"first at step 2"):
+        train_patchgan(cfg, str(logdir), dtype="float32", use_wandb=False)
+    assert (logdir / "weights_nan.safetensors").exists()
+    assert (logdir / "weights_nan.step").read_text().strip() == "2"
