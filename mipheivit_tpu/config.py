@@ -217,3 +217,80 @@ def compose(
     for key, val in value_overrides:
         cfg.set_dotted(key, _parse_value(val))
     return cfg
+
+
+def _expand_sweep(val: str, group_dir: Optional[Path]) -> Optional[List[str]]:
+    """Sweep variants for one override value, or None if not a sweep.
+
+    Supports Hydra's multirun syntaxes (reference README.md:193-197):
+      * ``glob(*)`` / ``glob(uni*)`` on a config-group override — every yaml
+        in the group dir whose stem matches the pattern;
+      * comma lists (``a,b,c``) on group or dotted value overrides.
+    """
+    import re
+
+    m = re.fullmatch(r"glob\((.*)\)", val.strip())
+    if m:
+        if group_dir is None:
+            raise ValueError(
+                f"glob() sweep requires a config-group override, got {val!r}")
+        pat = m.group(1).strip() or "*"
+        names = sorted(p.stem for p in group_dir.glob(pat + ".yaml"))
+        if not names:
+            raise FileNotFoundError(
+                f"glob sweep {val!r} matched nothing in {group_dir}")
+        return names
+    if "," in val and not val.lstrip().startswith("["):
+        return [v.strip() for v in val.split(",") if v.strip()]
+    return None
+
+
+def compose_multirun(
+    overrides: Iterable[str] = (),
+    config_root: Union[str, Path, None] = None,
+    config_name: str = "config",
+) -> List[tuple]:
+    """Expand ``-m`` sweep overrides into ``[(job_name, cfg), ...]``.
+
+    The cartesian product over every sweep override is composed
+    sequentially, mirroring Hydra's basic sweeper
+    (reference: README.md:193-197,
+    ``python run.py -m +experiments/foundation_models='glob(*)'``).
+    Non-sweep invocations return a single job named "0".
+    """
+    import itertools
+
+    root = Path(config_root) if config_root else _CONFIG_ROOT
+    slots: List[Union[str, List[tuple]]] = []
+    has_sweep = False
+    for ov in overrides:
+        s = ov.strip()
+        if not s:
+            continue
+        body = s.lstrip("+")
+        prefix = s[: len(s) - len(body)]
+        if "=" in body:
+            key, val = body.split("=", 1)
+            gd = root / key
+            variants = _expand_sweep(val, gd if gd.is_dir() else None)
+            if variants:
+                has_sweep = True
+                slots.append([(f"{prefix}{key}={v}", v) for v in variants])
+                continue
+        slots.append(s)
+    if not has_sweep:
+        return [("0", compose(list(overrides), config_root, config_name))]
+    sweep_axes = [slot for slot in slots if isinstance(slot, list)]
+    jobs = []
+    for combo in itertools.product(*sweep_axes):
+        it = iter(combo)
+        ovs, names = [], []
+        for slot in slots:
+            if isinstance(slot, list):
+                ov, name = next(it)
+                ovs.append(ov)
+                names.append(str(name))
+            else:
+                ovs.append(slot)
+        jobs.append(("_".join(names), compose(ovs, config_root, config_name)))
+    return jobs

@@ -33,9 +33,13 @@ def write_github_logs(logdir: Path) -> None:
 def main() -> None:
     args = sys.argv[1:]
     resume_dir = None
+    multirun = False
     for arg in list(args):
         if arg.startswith("--resume="):
             resume_dir = arg.split("=", 1)[1]
+            args.remove(arg)
+        elif arg in ("-m", "--multirun"):
+            multirun = True
             args.remove(arg)
     if resume_dir:
         from mipheivit_tpu.config import load_yaml
@@ -44,9 +48,24 @@ def main() -> None:
         cfg = load_yaml(logdir / "config.yaml")
         train_patchgan(cfg, str(logdir), resume=True)
         return
-    cfg = compose(args)
     timestamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
     Path("logs").mkdir(exist_ok=True)
+    if multirun:
+        # hydra -m basic sweeper: sequential jobs, one logdir per job
+        # (reference: README.md:193-197)
+        from mipheivit_tpu.config import compose_multirun
+
+        jobs = compose_multirun(args)
+        sweep_dir = Path("logs") / f"multirun_{timestamp}"
+        for i, (name, cfg) in enumerate(jobs):
+            logdir = sweep_dir / f"{i}_{name}"
+            logdir.mkdir(parents=True)
+            (logdir / "status.txt").write_text("not finished")
+            write_github_logs(logdir)
+            logging.info("multirun job %d/%d: %s", i + 1, len(jobs), name)
+            train_patchgan(cfg, str(logdir))
+        return
+    cfg = compose(args)
     markers = "_".join(map(str, cfg.data.targ_channel_names))
     logdir = Path("logs") / f"patchgan_{markers}_{timestamp}"
     logdir.mkdir(parents=True)

@@ -54,3 +54,34 @@ def test_dotted_select_default():
     assert cfg.select("a.c", 7) == 7
     cfg.set_dotted("x.y.z", [1, 2])
     assert cfg.x.y.z == [1, 2]
+
+
+def test_multirun_glob_sweep():
+    """-m +experiments/foundation_models='glob(*)' expands to every file in
+    the group, each composed at _global_ (reference README.md:193-197)."""
+    from mipheivit_tpu.config import compose_multirun
+
+    jobs = compose_multirun(["+default_configs=miphei-vit",
+                             "+experiments/foundation_models=glob(*)"])
+    names = [n for n, _ in jobs]
+    assert names == ["ctranspath", "hoptimus", "provgigapath", "univ2"]
+    encoders = {c.model.encoder.encoder_name for _, c in jobs}
+    assert len(encoders) == 4 and "hoptimus0" in encoders
+
+
+def test_multirun_comma_and_product():
+    from mipheivit_tpu.config import compose_multirun
+
+    jobs = compose_multirun(["+default_configs=miphei-vit",
+                             "++train.epochs=1,2",
+                             "++train.batch_size=4,8"])
+    assert len(jobs) == 4
+    combos = {(c.train.epochs, c.train.batch_size) for _, c in jobs}
+    assert combos == {(1, 4), (1, 8), (2, 4), (2, 8)}
+
+
+def test_multirun_no_sweep_single_job():
+    from mipheivit_tpu.config import compose_multirun
+
+    jobs = compose_multirun(["+default_configs=miphei-vit"])
+    assert len(jobs) == 1 and jobs[0][0] == "0"
