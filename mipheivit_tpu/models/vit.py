@@ -48,6 +48,7 @@ class ViTConfig:
     lora_rank: int = 0
     lora_alpha: float = 1.0
     attn_impl: str = "auto"
+    mlp_impl: str = "auto"        # swiglu fc1: "auto" | "pallas" | "xla"
     remat: bool = True
     scan_blocks: bool = True
     scan_unroll: int = 2          # unrolled scan steps (cross-block fusion)
@@ -129,6 +130,7 @@ class _SwigluFc1(nn.Module):
     [M, 2H] intermediate never reaches HBM; XLA reference elsewhere)."""
 
     hidden: int
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -137,7 +139,7 @@ class _SwigluFc1(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (2 * self.hidden,))
         from ..ops.mlp import swiglu_fc1
 
-        return swiglu_fc1(x, kernel, bias)
+        return swiglu_fc1(x, kernel, bias, impl=self.impl)
 
 
 class Mlp(nn.Module):
@@ -150,7 +152,8 @@ class Mlp(nn.Module):
         if cfg.mlp_type == "swiglu":
             # timm SwiGLUPacked / GluMlp(gate_last=False): fc1 packs value|gate
             # halves; silu(first) * second.
-            h = _SwigluFc1(cfg.mlp_hidden_dim, name="fc1")(x)
+            h = _SwigluFc1(cfg.mlp_hidden_dim, impl=cfg.mlp_impl,
+                           name="fc1")(x)
         elif cfg.mlp_type == "gelu":
             h = nn.Dense(cfg.mlp_hidden_dim, name="fc1", dtype=x.dtype)(x)
             h = nn.gelu(h, approximate=False)
