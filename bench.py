@@ -2,12 +2,22 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Methodology: bf16 forward of the full generator (ViT-g/14 H-Optimus-0-sized
-encoder, 1.14B params, Pallas flash attention + detail-capture decoder) on
-256x256 tiles -> 16 markers, batch 64. Timing uses an on-device lax.scan
-loop and a two-point slope fit so remote-dispatch latency and result-fetch
-overhead cancel out (the tunneled single-chip setup adds O(100ms) per
-dispatch and caches identical executions).
+Default mode — bare-forward ceiling: bf16 forward of the full generator
+(ViT-g/14 H-Optimus-0-sized encoder, 1.14B params, Pallas flash attention +
+detail-capture decoder) on 256x256 tiles -> 16 markers, batch 64. Timing
+uses an on-device lax.scan loop and a two-point slope fit so
+remote-dispatch latency and result-fetch overhead cancel out (the tunneled
+single-chip setup adds O(100ms) per dispatch and caches identical
+executions).
+
+``--wsi`` mode — the metric BASELINE.json actually names ("mIF
+tiles/sec/chip, whole-slide sliding-window inference"): builds a synthetic
+H&E pyramid (default 4096^2), runs the full 3-stage serving pipeline
+(reader threads -> async device dispatch -> feathered stitch ->
+band-streamed PyramidWriter) and reports stitched tiles/s with the
+decode / transfer / stitch split, so the tunneled dev box's host<->device
+artifact is isolated as its own line (on a host-local TPU VM the transfer
+rides PCIe/ICI and this term shrinks by orders of magnitude).
 
 Baseline denominator: the reference repo never measures throughput
 (BASELINE.md). Until a real A100 run of the reference ``run_inference.py``
@@ -16,7 +26,9 @@ on A100 fp16 eager (~760 GFLOP/tile; eval loop batch 4, fp16 —
 evaluation/eval_orion.py:198-209). Replace A100_TILES_PER_S when measured.
 """
 
+import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -24,26 +36,20 @@ import numpy as np
 A100_TILES_PER_S = 120.0
 
 
-def main():
+def build_flagship(dtype: str, img_size: int = 256, nc_out: int = 16,
+                   encoder: str = "hoptimus0"):
+    """Flagship generator + serving transforms (fused heads, merged LoRA,
+    compute-dtype params), as run_inference.py serves it."""
     import jax
     import jax.numpy as jnp
     from mipheivit_tpu.config import compose
     from mipheivit_tpu.models import get_generator
 
-    on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
-        batch, sizes = 64, (4, 16)
-        cfg_model = ("myvitmatte", 256)
-        dtype = "bfloat16"
-    else:  # CPU smoke fallback so the script always emits a line
-        batch, sizes = 2, (1, 3)
-        cfg_model = ("myvitmatte", 256)
-        dtype = "float32"
-
-    cfg = compose(["+default_configs=miphei-vit"])
-    model = get_generator(cfg_model[0], cfg_model[1], 3, 16, cfg, dtype=dtype)
+    cfg = compose(["+default_configs=miphei-vit",
+                   f"++model.encoder.encoder_name={encoder}"])
+    model = get_generator("myvitmatte", img_size, 3, nc_out, cfg, dtype=dtype)
     params = jax.jit(
-        lambda k: model.init(k, jnp.zeros((1, cfg_model[1], cfg_model[1], 3)),
+        lambda k: model.init(k, jnp.zeros((1, img_size, img_size, 3)),
                              train=False)
     )(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
@@ -59,6 +65,24 @@ def main():
     # params stored in the compute dtype: deletes the per-batch f32->bf16
     # encoder-weight convert (bit-identical — every use casts anyway)
     params = cast_params(params, dtype)
+    return model, params
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        batch, sizes = 64, (4, 16)
+        cfg_model = ("myvitmatte", 256)
+        dtype = "bfloat16"
+    else:  # CPU smoke fallback so the script always emits a line
+        batch, sizes = 2, (1, 3)
+        cfg_model = ("myvitmatte", 256)
+        dtype = "float32"
+
+    model, params = build_flagship(dtype, cfg_model[1])
 
     x = jax.random.normal(jax.random.PRNGKey(1),
                           (batch, cfg_model[1], cfg_model[1], 3))
@@ -88,5 +112,83 @@ def main():
     }))
 
 
+def wsi_main(slide_px: int, batch_size: int = 0):
+    """Whole-slide stitched serving bench (BASELINE.json's metric)."""
+    import tempfile
+    from pathlib import Path
+
+    import jax
+
+    from mipheivit_tpu.data.stats import Normalizer
+    from mipheivit_tpu.infer.wsi import wsi_inference
+    from mipheivit_tpu.slideio import write_pyramid
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = "bfloat16" if on_tpu else "float32"
+    # CPU smoke: ViT-base encoder + small slide so the script always
+    # finishes; the measured metric is only meaningful on the TPU flagship
+    encoder = "hoptimus0" if on_tpu else "sp85m"
+    if not on_tpu:
+        slide_px = min(slide_px, 512)
+    batch = batch_size or (64 if on_tpu else 4)
+
+    tmp = Path(tempfile.mkdtemp(prefix="bench_wsi_"))
+    rng = np.random.default_rng(0)
+    # tissue-looking H&E noise (structured so JPEG-free TIFF sizes stay sane)
+    he = rng.integers(120, 230, (3, slide_px, slide_px), dtype=np.uint8)
+    slide = str(tmp / "synthetic_he.ome.tiff")
+    write_pyramid(slide, he, n_levels=3, tile_size=512)
+
+    model, params = build_flagship(dtype, encoder=encoder)
+    norm = Normalizer({"mean": [180.0, 140.0, 170.0],
+                       "std": [40.0, 45.0, 35.0]}, mode="he")
+    markers = [f"m{i}" for i in range(16)]
+    stats: dict = {}
+    out = str(tmp / "pred.ome.tiff")
+    wsi_inference(model, params, slide, out, markers, norm,
+                  tile_size=256, overlap=64, batch_size=batch,
+                  tissue_only=False, stats=stats)
+
+    steady = stats["steady_s"] or stats["wall_s"]
+    steady_tiles = stats["steady_tiles"] or stats["n_tiles"]
+    tiles_per_s = steady_tiles / steady
+    nb = max(stats["n_batches"], 1)
+    # host-pipeline bound with the tunneled-transfer artifact removed: what
+    # the same loop does when result fetches ride PCIe (host-local TPU VM)
+    no_transfer = max(steady - stats["device_wait_s"], 1e-9)
+    no_transfer_line = (
+        f"{steady_tiles / no_transfer:.1f} tiles/s"
+        if no_transfer > 0.01 * steady else "n/a (device-wait is the "
+        "compute itself off-TPU)")
+    print(
+        f"[wsi-bench] slide {slide_px}^2, {stats['n_tiles']} tiles, "
+        f"{nb} batches of {batch}\n"
+        f"[wsi-bench] steady wall {steady:.2f} s -> "
+        f"{tiles_per_s:.1f} tiles/s stitched\n"
+        f"[wsi-bench] per-batch split: read-starvation "
+        f"{1000 * stats['read_wait_s'] / nb:.1f} ms, device-wait "
+        f"{1000 * stats['device_wait_s'] / nb:.1f} ms (tunnel artifact on "
+        f"the dev box), stitch {1000 * stats['stitch_s'] / nb:.1f} ms, "
+        f"finalize {stats['finalize_s']:.2f} s\n"
+        f"[wsi-bench] transfer-artifact-free bound: {no_transfer_line}",
+        file=sys.stderr)
+    print(json.dumps({
+        "metric": "mIF tiles/sec/chip (whole-slide stitched serving, "
+                  f"{slide_px}px synthetic slide)",
+        "value": round(tiles_per_s, 1),
+        "unit": "tiles/s",
+        "vs_baseline": round(tiles_per_s / A100_TILES_PER_S, 3),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--wsi", action="store_true",
+                    help="bench the stitched whole-slide serving path")
+    ap.add_argument("--slide-px", type=int, default=4096)
+    ap.add_argument("--batch-size", type=int, default=0)
+    args = ap.parse_args()
+    if args.wsi:
+        wsi_main(args.slide_px, args.batch_size)
+    else:
+        main()

@@ -130,6 +130,7 @@ def wsi_inference(
     read_workers: int = 8,
     queue_depth: int = 4,
     dispatch_depth: int = 2,
+    stats: Optional[dict] = None,
 ) -> str:
     """Memory is bounded regardless of slide size: the rolling f32
     accumulator is one tile band, and finalized uint8 rows stream straight
@@ -255,19 +256,28 @@ def wsi_inference(
     # ---- stages 2+3: async dispatch, drain oldest while device computes ----
     read_wait_s = 0.0
     device_wait_s = 0.0
+    stitch_s = 0.0
+    t_wall0 = time.perf_counter()
+    t_first_drain = None       # steady-state marker (past the jit compile)
+    tiles_drained = 0
     pending: deque = deque()   # (device_pred, coords, n)
 
     def _drain_one():
-        nonlocal device_wait_s
+        nonlocal device_wait_s, stitch_s, t_first_drain, tiles_drained
         pred_dev, coords, n = pending.popleft()
         t0 = time.perf_counter()
         # fetch in f16 (half the transfer), but widen immediately: numpy
         # f16 arithmetic is scalar-emulated (~50x slower) and would move
         # the bottleneck into the feathered accumulator
         preds = np.asarray(pred_dev)[:n].astype(np.float32)
-        device_wait_s += time.perf_counter() - t0
+        t1 = time.perf_counter()
+        device_wait_s += t1 - t0
         for pred, (tx, ty) in zip(preds, coords):
             rolling.add(pred, tx, ty, window)
+        stitch_s += time.perf_counter() - t1
+        if t_first_drain is None:
+            t_first_drain = time.perf_counter()
+        tiles_drained += n
 
     n_batches = 0
     n_tiles_seen = 0
@@ -297,13 +307,28 @@ def wsi_inference(
     if producer_err:
         raise producer_err[0]
 
+    t_drained = time.perf_counter()
     rolling.finalize()
+    finalize_s = time.perf_counter() - t_drained
     if n_batches:
         log.info(
             "WSI pipeline: %d batches, read-starvation %.1f ms/batch, "
             "device-wait %.1f ms/batch",
             n_batches, 1000.0 * read_wait_s / n_batches,
             1000.0 * device_wait_s / n_batches)
+    if stats is not None:
+        stats.update({
+            "n_tiles": int(n_tiles_seen), "n_batches": int(n_batches),
+            "batch_size": int(batch_size),
+            "wall_s": t_drained - t_wall0,
+            # steady state: everything after the first drained batch (the
+            # first batch absorbs the jit compile of the forward)
+            "steady_s": (t_drained - t_first_drain
+                         if t_first_drain is not None else 0.0),
+            "steady_tiles": int(max(tiles_drained - batch_size, 0)),
+            "read_wait_s": read_wait_s, "device_wait_s": device_wait_s,
+            "stitch_s": stitch_s, "finalize_s": finalize_s,
+        })
     if writer is not None:
         writer.close()
     else:
