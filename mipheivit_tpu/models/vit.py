@@ -105,7 +105,26 @@ class Attention(nn.Module):
         b, s, d = x.shape
         qkv = nn.Dense(3 * d, use_bias=cfg.qkv_bias, name="qkv",
                        dtype=x.dtype)(x)
-        if cfg.lora_rank > 0:
+        if cfg.attn_impl == "seq_shard":
+            # whole-region serving: S sharded over the mesh's model axis,
+            # each shard all-gathers k/v and runs the rectangular flash
+            # kernel on its local q rows (parallel/seq.py; SURVEY §5)
+            from ..parallel.seq import (current_seq_scope,
+                                        seq_sharded_attention)
+
+            mesh, axis = current_seq_scope()
+            if cfg.lora_rank > 0:
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                q = q + LoRA(d, cfg.lora_rank, cfg.lora_alpha,
+                             name="lora_q")(x)
+                v = v + LoRA(d, cfg.lora_rank, cfg.lora_alpha,
+                             name="lora_v")(x)
+                out = seq_sharded_attention(q, k, v, num_heads=cfg.num_heads,
+                                            mesh=mesh, axis=axis)
+            else:
+                out = seq_sharded_attention(qkv, num_heads=cfg.num_heads,
+                                            mesh=mesh, axis=axis)
+        elif cfg.lora_rank > 0:
             # adapters on the q and v slices of the fused qkv
             # (reference: src/generators/lora.py:21-33)
             q, k, v = jnp.split(qkv, 3, axis=-1)

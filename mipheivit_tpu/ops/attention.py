@@ -204,6 +204,65 @@ def _flash_forward(q, k, v, seq_len: int, interpret: bool):
     return _long_forward(q, k, v, seq_len, interpret)[0]
 
 
+def flash_cross_attention(q, k, v, seq_len_k: int | None = None, *,
+                          interpret: bool | None = None):
+    """Rectangular flash attention: q [B,H,Sq,D] over k/v [B,H,Sk,D].
+
+    The seq-sharded whole-region path (``parallel.seq``) calls this with
+    the local q shard and the all-gathered full k/v — same online-softmax
+    kernel as ``_long_forward``, just a non-square grid. Both lengths are
+    padded to 128 multiples internally; ``seq_len_k`` masks padded keys.
+    Forward-only (whole-region *training* shards the batch instead; the
+    sharded backward would need a reduce-scatter dK/dV pass).
+    """
+    b, h, sq, d = q.shape
+    sk = k.shape[-2]
+    seq_len_k = sk if seq_len_k is None else seq_len_k
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    sq_pad = ((sq + 127) // 128) * 128
+    sk_pad = ((sk + 127) // 128) * 128
+    qp = _pad_to(q, sq_pad)
+    kp, vp = _pad_to(k, sk_pad), _pad_to(v, sk_pad)
+    bh = b * h
+    qf = qp.reshape(bh, sq_pad, d)
+    kf = kp.reshape(bh, sk_pad, d)
+    vf = vp.reshape(bh, sk_pad, d)
+    block_q = _pick_block(sq_pad)
+    block_k = _pick_block(sk_pad)
+    kv_steps = sk_pad // block_k
+
+    kernel = functools.partial(_flash_kernel, seq_len=seq_len_k,
+                               kv_steps=kv_steps, block_k=block_k)
+    out, _ = pl.pallas_call(
+        kernel,
+        grid=(bh, sq_pad // block_q, kv_steps),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, block_q), lambda g, i, j: (g, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, sq_pad, d)[..., :sq, :]
+
+
 def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                      dk_ref, dv_ref, dk_acc, dv_acc, *, seq_len: int,
                      q_steps: int, block_k: int, scale: float):

@@ -1,0 +1,74 @@
+"""Sequence-sharded whole-region attention (SURVEY §5; VERDICT r2 #8 opt).
+
+Token axis sharded over the mesh's ``model`` axis: each shard all-gathers
+k/v and runs the rectangular flash kernel on its local q rows
+(parallel/seq.py). Verified on the virtual 8-device CPU mesh against the
+unsharded XLA reference.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mipheivit_tpu.models.vit import ViTConfig, VisionTransformer
+from mipheivit_tpu.parallel import make_mesh
+from mipheivit_tpu.parallel.seq import seq_shard_scope, seq_sharded_attention
+
+
+def test_flash_cross_attention_rectangular(rng):
+    """Local-q (Sq != Sk) flash matches plain softmax attention."""
+    from mipheivit_tpu.ops.attention import flash_cross_attention
+
+    b, h, sq, sk, d = 1, 2, 300, 700, 32
+    q = jnp.array(rng.standard_normal((b, h, sq, d)), jnp.float32)
+    k = jnp.array(rng.standard_normal((b, h, sk, d)), jnp.float32)
+    v = jnp.array(rng.standard_normal((b, h, sk, d)), jnp.float32)
+    out = flash_cross_attention(q, k, v)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_seq_sharded_attention_matches_unsharded(rng):
+    from mipheivit_tpu.ops.attention import attention_qkv
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    b, h, s, d = 2, 2, 1024, 32
+    qkv = jnp.array(rng.standard_normal((b, s, 3 * h * d)), jnp.float32)
+    out = seq_sharded_attention(qkv, num_heads=h, mesh=mesh)
+    ref = attention_qkv(qkv, h, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_vit_seq_shard_whole_region_matches_xla(rng):
+    """Full ViT forward at whole-region token count (512^2 px -> 1024
+    tokens) with attn_impl="seq_shard" on a dp2 x sp4 mesh equals the
+    single-logical-device XLA forward."""
+    mesh = make_mesh(n_data=2, n_model=4)
+    base = dict(img_size=(512, 512), patch_size=16, embed_dim=64, depth=2,
+                num_heads=2, mlp_hidden_dim=128, reg_tokens=0,
+                class_token=False, no_embed_class=True, remat=False,
+                lora_rank=0)
+    vit_x = VisionTransformer(ViTConfig(attn_impl="xla", **base))
+    vit_s = VisionTransformer(ViTConfig(attn_impl="seq_shard", **base))
+
+    x = jnp.array(rng.standard_normal((2, 512, 512, 3)), jnp.float32)
+    v = vit_x.init(jax.random.PRNGKey(0), x)
+    ref = vit_x.apply(v, x)
+
+    with seq_shard_scope(mesh):
+        out = jax.jit(vit_s.apply)(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-4, rtol=1e-3)
+
+
+def test_seq_shard_requires_scope():
+    vit = VisionTransformer(ViTConfig(
+        img_size=(64, 64), patch_size=16, embed_dim=32, depth=1,
+        num_heads=2, mlp_hidden_dim=64, reg_tokens=0, class_token=False,
+        remat=False, attn_impl="seq_shard"))
+    with pytest.raises(RuntimeError, match="seq_shard_scope"):
+        vit.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
