@@ -213,9 +213,15 @@ def swiglu_fc1(x, w, b, *, ln=None, eps: float = 1e-6, impl: str = "auto"):
     lead = x.shape[:-1]
     k = x.shape[-1]
     on_tpu = jax.default_backend() == "tpu"
+    # "auto" routes to the XLA chain: the fused kernel wins the standalone
+    # chain microbench (profile_mlp_r3.py) but measures 31 ms/B64 SLOWER in
+    # the full flagship forward (393.6 vs 362.9 ms, profile_mlp_inmodel_r3)
+    # — inside the scanned block XLA fuses the gate into the fc1 epilogue
+    # and overlaps fc1/fc2 better than the opaque pallas_call boundary
+    # allows. Kept behind impl="pallas" for shapes where the [M,2H]
+    # intermediate genuinely blows HBM (whole-region M ~ 21k tokens).
     use_kernel = (
         impl in ("pallas", "pallas_interpret")
-        or (impl == "auto" and on_tpu)
     ) and hidden % 256 == 0 and k % 128 == 0
     if not use_kernel:
         if ln is not None:
