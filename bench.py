@@ -37,7 +37,7 @@ A100_TILES_PER_S = 120.0
 
 
 def build_flagship(dtype: str, img_size: int = 256, nc_out: int = 16,
-                   encoder: str = "hoptimus0"):
+                   encoder: str = "hoptimus0", int8: bool = False):
     """Flagship generator + serving transforms (fused heads, merged LoRA,
     compute-dtype params), as run_inference.py serves it."""
     import jax
@@ -65,16 +65,22 @@ def build_flagship(dtype: str, img_size: int = 256, nc_out: int = 16,
     # params stored in the compute dtype: deletes the per-batch f32->bf16
     # encoder-weight convert (bit-identical — every use casts anyway)
     params = cast_params(params, dtype)
+    if int8:
+        from mipheivit_tpu.infer.loading import quantize_encoder
+
+        model, params = quantize_encoder(model, params)
     return model, params
 
 
-def main():
+def main(int8: bool = False):
     import jax
     import jax.numpy as jnp
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        batch, sizes = 64, (4, 16)
+        # B=96 measured fastest (180.8 tiles/s vs 176.5 at B=64 and 176.6
+        # at B=128 — scripts/profile_batch_r3.py); serving batch is free
+        batch, sizes = 96, (4, 16)
         cfg_model = ("myvitmatte", 256)
         dtype = "bfloat16"
     else:  # CPU smoke fallback so the script always emits a line
@@ -82,7 +88,7 @@ def main():
         cfg_model = ("myvitmatte", 256)
         dtype = "float32"
 
-    model, params = build_flagship(dtype, cfg_model[1])
+    model, params = build_flagship(dtype, cfg_model[1], int8=int8)
 
     x = jax.random.normal(jax.random.PRNGKey(1),
                           (batch, cfg_model[1], cfg_model[1], 3))
@@ -104,8 +110,9 @@ def main():
 
     per_batch = (times[1] - times[0]) / (sizes[1] - sizes[0])
     tiles_per_s = batch / per_batch
+    kind = "int8 W8A8 serving fwd" if int8 else "bf16 fwd"
     print(json.dumps({
-        "metric": "mIF tiles/sec/chip (256px, 16-ch, MIPHEI-ViT bf16 fwd)",
+        "metric": f"mIF tiles/sec/chip (256px, 16-ch, MIPHEI-ViT {kind})",
         "value": round(tiles_per_s, 1),
         "unit": "tiles/s",
         "vs_baseline": round(tiles_per_s / A100_TILES_PER_S, 3),
@@ -183,6 +190,8 @@ def wsi_main(slide_px: int, batch_size: int = 0):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
+    ap.add_argument("--int8", action="store_true",
+                    help="opt-in W8A8 serving mode (quantize_encoder)")
     ap.add_argument("--wsi", action="store_true",
                     help="bench the stitched whole-slide serving path")
     ap.add_argument("--slide-px", type=int, default=4096)
@@ -191,4 +200,4 @@ if __name__ == "__main__":
     if args.wsi:
         wsi_main(args.slide_px, args.batch_size)
     else:
-        main()
+        main(int8=args.int8)

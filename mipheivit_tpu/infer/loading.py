@@ -88,6 +88,40 @@ def merge_lora(model, variables):
     return model.clone(vit_cfg=cfg.replace(lora_rank=0)), merged
 
 
+def quantize_encoder(model, variables):
+    """Opt-in W8A8 serving transform: the ViT blocks' qkv/proj/fc1/fc2
+    kernels become per-output-channel int8 (+ f32 ``scale``), and the model
+    twin is built with ``vit_cfg.quant="int8"`` so those Dense layers run
+    ``ops.quant.int8_matmul`` on the MXU's 2x int8 path. Apply AFTER
+    ``merge_lora`` (the fold must happen in float). LayerNorms, layerscale,
+    patch embed, attention, and the decoder stay in the compute dtype; the
+    bf16 path remains the default (parity budget — see ops/quant.py)."""
+    from ..ops.quant import quantize_weight
+
+    cfg = getattr(model, "vit_cfg", None)
+    if cfg is None:
+        raise ValueError("quantize_encoder requires a ViT-encoder model")
+    targets = ("qkv", "proj", "fc1", "fc2")
+
+    def walk(node, name=""):
+        if not isinstance(node, dict):
+            return node
+        if name in targets and "kernel" in node:
+            w_i8, scale = quantize_weight(node["kernel"])
+            out = {"kernel": w_i8, "scale": scale}
+            if "bias" in node:
+                out["bias"] = node["bias"]
+            return out
+        return {k: walk(v, k) for k, v in node.items()}
+
+    params = dict(variables["params"])
+    enc = dict(params["encoder"])
+    enc["vit"] = walk(enc["vit"])
+    params["encoder"] = enc
+    quant_model = model.clone(vit_cfg=cfg.replace(quant="int8"))
+    return quant_model, {**variables, "params": params}
+
+
 def cast_params(variables, dtype):
     """Cast the float leaves of the ``params`` collection to ``dtype``.
 

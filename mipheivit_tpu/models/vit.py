@@ -49,6 +49,7 @@ class ViTConfig:
     lora_alpha: float = 1.0
     attn_impl: str = "auto"
     mlp_impl: str = "auto"        # swiglu fc1: "auto" | "pallas" | "xla"
+    quant: str = "none"           # "int8": W8A8 serving matmuls (ops/quant)
     remat: bool = True
     scan_blocks: bool = True
     scan_unroll: int = 2          # unrolled scan steps (cross-block fusion)
@@ -96,6 +97,39 @@ class LoRA(nn.Module):
         return self.alpha * ((x @ a.astype(x.dtype)) @ b.astype(x.dtype))
 
 
+class Int8Dense(nn.Module):
+    """Serving-only W8A8 Dense: params are the offline-quantized kernel
+    (int8, per-output-channel ``scale``) produced by
+    ``infer.loading.quantize_encoder``; activations quantize dynamically
+    per row inside ``ops.quant.int8_matmul`` (MXU int8 runs 2x bf16 on
+    v5e). Fresh init is never trained — the zeros kernel only exists so
+    the module tree has a shape before the transform fills it."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.quant import int8_matmul
+
+        k = x.shape[-1]
+        kernel = self.param(
+            "kernel", lambda key, shape: jnp.zeros(shape, jnp.int8),
+            (k, self.features))
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,)) if self.use_bias else None
+        return int8_matmul(x, kernel, scale, bias)
+
+
+def _dense(cfg: ViTConfig, features: int, name: str, dtype,
+           use_bias: bool = True):
+    if cfg.quant == "int8":
+        return Int8Dense(features, use_bias=use_bias, name=name)
+    return nn.Dense(features, use_bias=use_bias, name=name, dtype=dtype)
+
+
 class Attention(nn.Module):
     cfg: ViTConfig
 
@@ -103,8 +137,7 @@ class Attention(nn.Module):
     def __call__(self, x):
         cfg = self.cfg
         b, s, d = x.shape
-        qkv = nn.Dense(3 * d, use_bias=cfg.qkv_bias, name="qkv",
-                       dtype=x.dtype)(x)
+        qkv = _dense(cfg, 3 * d, "qkv", x.dtype, use_bias=cfg.qkv_bias)(x)
         if cfg.attn_impl == "seq_shard":
             # whole-region serving: S sharded over the mesh's model axis,
             # each shard all-gathers k/v and runs the rectangular flash
@@ -136,7 +169,7 @@ class Attention(nn.Module):
             # sections of the fused-qkv buffer in place — the splits (three
             # [B,S,H*D] copies per block) never materialize
             out = attention_qkv(qkv, cfg.num_heads, impl=cfg.attn_impl)
-        return nn.Dense(d, name="proj", dtype=x.dtype)(out)
+        return _dense(cfg, d, "proj", x.dtype)(out)
 
 
 class _SwigluFc1(nn.Module):
@@ -171,14 +204,19 @@ class Mlp(nn.Module):
         if cfg.mlp_type == "swiglu":
             # timm SwiGLUPacked / GluMlp(gate_last=False): fc1 packs value|gate
             # halves; silu(first) * second.
-            h = _SwigluFc1(cfg.mlp_hidden_dim, impl=cfg.mlp_impl,
-                           name="fc1")(x)
+            if cfg.quant == "int8":
+                x12 = Int8Dense(2 * cfg.mlp_hidden_dim, name="fc1")(x)
+                x1, x2 = jnp.split(x12, 2, axis=-1)
+                h = nn.silu(x1) * x2
+            else:
+                h = _SwigluFc1(cfg.mlp_hidden_dim, impl=cfg.mlp_impl,
+                               name="fc1")(x)
         elif cfg.mlp_type == "gelu":
-            h = nn.Dense(cfg.mlp_hidden_dim, name="fc1", dtype=x.dtype)(x)
+            h = _dense(cfg, cfg.mlp_hidden_dim, "fc1", x.dtype)(x)
             h = nn.gelu(h, approximate=False)
         else:
             raise ValueError(f"unknown mlp_type {cfg.mlp_type!r}")
-        return nn.Dense(d, name="fc2", dtype=x.dtype)(h)
+        return _dense(cfg, d, "fc2", x.dtype)(h)
 
 
 class Block(nn.Module):
