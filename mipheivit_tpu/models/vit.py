@@ -51,6 +51,7 @@ class ViTConfig:
     mlp_impl: str = "auto"        # swiglu fc1: "auto" | "pallas" | "xla"
     quant: str = "none"           # "int8": W8A8 serving matmuls (ops/quant)
     remat: bool = True
+    remat_policy: str = "full"    # "full" | "dots" (save matmul outputs)
     scan_blocks: bool = True
     scan_unroll: int = 2          # unrolled scan steps (cross-block fusion)
     dtype: str = "float32"            # compute dtype ("bfloat16" on TPU)
@@ -312,7 +313,18 @@ class VisionTransformer(nn.Module):
         inter = []
         block_cls = Block
         if cfg.remat:
-            block_cls = nn.remat(Block, prevent_cse=False)
+            if cfg.remat_policy == "dots":
+                # selective remat: keep every dot_general output (qkv, proj,
+                # fc1, fc2 — ~180 MB/block bf16 at B=16) so the backward
+                # re-runs only the cheap elementwise chain instead of the
+                # full block forward; trades ~7 GB HBM for one forward
+                # recompute of the matmul path (measured in
+                # scripts/profile_train_r3b.py)
+                block_cls = nn.remat(
+                    Block, prevent_cse=False,
+                    policy=jax.checkpoint_policies.dots_saveable)
+            else:
+                block_cls = nn.remat(Block, prevent_cse=False)
         if cfg.scan_blocks:
             x, ys = nn.scan(
                 block_cls,

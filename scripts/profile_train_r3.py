@@ -22,9 +22,12 @@ B=16, bf16 compute, frozen encoder partition (configs/config.yaml:17-23).
 Usage: python scripts/profile_train_r3.py   (solo on the tunneled chip)
 """
 
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, ".")
 
 
 def make_timer(train_step, state, batch, metrics_zero):
