@@ -29,6 +29,9 @@ def main() -> None:
     parser.add_argument("--out", default=None, help="Output path for --wsi mode")
     parser.add_argument("--tile_size", default=256, type=int)
     parser.add_argument("--overlap", default=64, type=int)
+    parser.add_argument("--int8", action="store_true",
+                        help="opt-in W8A8 serving: quantize the ViT encoder"
+                             " matmuls to int8 (2x MXU rate; bf16 default)")
     args = parser.parse_args()
 
     config_path = str(Path(args.checkpoint_dir) / "config.yaml")
@@ -64,6 +67,10 @@ def main() -> None:
             cfg, args.checkpoint_dir, (args.tile_size, args.tile_size),
             len(names), dtype=dtype,
             fast_heads=cfg.model.model_name.startswith("myvitmatte"))
+        if args.int8:
+            from mipheivit_tpu.infer.loading import quantize_encoder
+
+            model, variables = quantize_encoder(model, variables)
         he_norm = Normalizer(get_input_mean_std(
             cfg.model.model_name, cfg.select("model.encoder.encoder_name"),
             stats.rgb), mode="he")

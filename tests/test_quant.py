@@ -73,3 +73,39 @@ def test_quantize_encoder_transform_and_forward(rng):
     assert np.median(err) < 0.02 and np.max(err) < 0.15
     corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
     assert corr > 0.995
+
+
+def test_int8_wsi_serving_path(rng, tmp_path):
+    """The --int8 serving surface end-to-end: a quantized generator drives
+    the full stitched WSI pipeline and its uint8 output stays within a few
+    codec steps of the bf16 path (run_inference.py --wsi --int8)."""
+    from mipheivit_tpu.data.stats import Normalizer
+    from mipheivit_tpu.infer import wsi_inference
+    from mipheivit_tpu.infer.loading import quantize_encoder
+    from mipheivit_tpu.slideio import TiffSlide, write_pyramid
+
+    cfg = ViTConfig(img_size=(32, 32), patch_size=4, embed_dim=32, depth=2,
+                    num_heads=2, mlp_hidden_dim=64, reg_tokens=4,
+                    no_embed_class=True, attn_impl="xla", remat=False,
+                    lora_rank=0)
+    model = MipheiViT(vit_cfg=cfg, out_chans=2)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                   train=False)
+    qmodel, qv = quantize_encoder(model, v)
+
+    he = rng.integers(100, 255, (3, 96, 96)).astype(np.uint8)
+    slide = str(tmp_path / "wsi.tiff")
+    write_pyramid(slide, he, n_levels=2, tile_size=32)
+    norm = Normalizer({"mean": [180.0] * 3, "std": [40.0] * 3}, "he")
+    kwargs = dict(tile_size=32, overlap=8, batch_size=2, tissue_only=False,
+                  n_pyramid_levels=2)
+    out_f = wsi_inference(model, v, slide, str(tmp_path / "f.ome.tiff"),
+                          ["CD31", "CD3e"], norm, **kwargs)
+    out_q = wsi_inference(qmodel, qv, slide, str(tmp_path / "q.ome.tiff"),
+                          ["CD31", "CD3e"], norm, **kwargs)
+    tf_, tq = TiffSlide(out_f), TiffSlide(out_q)
+    a = tf_.read_region((0, 0), 0, tf_.dimensions).astype(np.int16)
+    b = tq.read_region((0, 0), 0, tq.dimensions).astype(np.int16)
+    tf_.close(); tq.close()
+    assert np.median(np.abs(a - b)) <= 1          # uint8 codec steps
+    assert np.mean(np.abs(a - b) <= 10) > 0.99
