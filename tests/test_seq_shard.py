@@ -65,6 +65,29 @@ def test_vit_seq_shard_whole_region_matches_xla(rng):
                                atol=3e-4, rtol=1e-3)
 
 
+def test_full_generator_seq_shard_matches_xla(rng):
+    """Whole generator (encoder + detail-capture decoder) with seq-sharded
+    attention: GSPMD handles the token->grid reshape and the decoder convs
+    around the shard_map'd attention; output equals the unsharded path."""
+    from mipheivit_tpu.models import MipheiViT
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    base = dict(img_size=(256, 256), patch_size=16, embed_dim=64, depth=2,
+                num_heads=2, mlp_hidden_dim=128, reg_tokens=0,
+                class_token=False, no_embed_class=True, remat=False,
+                lora_rank=0)
+    m_x = MipheiViT(vit_cfg=ViTConfig(attn_impl="xla", **base), out_chans=2)
+    m_s = MipheiViT(vit_cfg=ViTConfig(attn_impl="seq_shard", **base),
+                    out_chans=2)
+    x = jnp.array(rng.standard_normal((1, 256, 256, 3)), jnp.float32)
+    v = m_x.init(jax.random.PRNGKey(0), x, train=False)
+    ref = m_x.apply(v, x, train=False)
+    with seq_shard_scope(mesh):
+        out = jax.jit(lambda v, x: m_s.apply(v, x, train=False))(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-4, rtol=1e-3)
+
+
 def test_seq_shard_requires_scope():
     vit = VisionTransformer(ViTConfig(
         img_size=(64, 64), patch_size=16, embed_dim=32, depth=1,
