@@ -131,6 +131,7 @@ def wsi_inference(
     queue_depth: int = 4,
     dispatch_depth: int = 2,
     stats: Optional[dict] = None,
+    seq_shard_mesh=None,
 ) -> str:
     """Memory is bounded regardless of slide size: the rolling f32
     accumulator is one tile band, and finalized uint8 rows stream straight
@@ -208,6 +209,19 @@ def wsi_inference(
         fwd = jax.jit(lambda v, x: (jnp.clip(
             (model.apply(v, x, train=False) + 0.9) / 1.8, 0.0, 1.0) * 255.0
         ).astype(jnp.float16))
+    if seq_shard_mesh is not None:
+        # whole-region serving: the model was built with
+        # attn_impl="seq_shard" and tile_size is region-sized (e.g. 1024+);
+        # every forward traces/runs under the scope so its attention
+        # shard_maps over this mesh's model axis (parallel/seq.py)
+        from ..parallel.seq import seq_shard_scope
+
+        base_fwd = fwd
+
+        def fwd(v, x, _f=base_fwd):  # noqa: F811
+            with seq_shard_scope(seq_shard_mesh):
+                return _f(v, x)
+
     sharding = None
     if mesh is not None:
         from ..parallel import batch_sharding

@@ -28,6 +28,12 @@ def get_generator(model_name: str, img_size, nc_in: int, nc_out: int, cfg=None,
         check_input_size(img_size)
         # myvitmatte always applies LoRA rank 8 (reference: mipheivit.py:224-233)
         vit_cfg = spec.vit_cfg.replace(lora_rank=8, lora_alpha=1.0, dtype=dtype)
+        if cfg is not None:
+            # serving knob: "seq_shard" runs whole-region attention over
+            # the mesh's model axis (parallel/seq.py; run_inference
+            # --seq_shard sets this)
+            vit_cfg = vit_cfg.replace(
+                attn_impl=cfg.select("model.attn_impl", vit_cfg.attn_impl))
         return MipheiViT(vit_cfg=vit_cfg, out_chans=nc_out)
 
     if model_name.startswith("smp_unet"):

@@ -37,15 +37,19 @@ def seq_sharded_attention(qkv_or_q, k=None, v=None, *, num_heads: int,
     rectangular flash kernel on its local q rows; the output keeps the
     input's S sharding. Inference-only (see flash_cross_attention).
 
-    The global S must divide by the mesh axis size (pad tokens globally
-    first — whole-region token counts are padded to lane multiples anyway).
+    A global S not divisible by the axis size is zero-padded to the next
+    multiple before the shard_map and sliced back after (the ViT-g region
+    token count 73*73+5 = 5334 shards over 2/3/6 chips natively but needs
+    the pad for 4/8); padded keys are masked inside the kernel.
     """
     n = mesh.shape[axis]
-    if qkv_or_q.shape[1] % n:
-        raise ValueError(
-            f"global S={qkv_or_q.shape[1]} not divisible by mesh axis "
-            f"{axis!r} size {n}")
+    s = qkv_or_q.shape[1]
+    pad = (-s) % n
     fused = k is None
+    args = (qkv_or_q,) if fused else (qkv_or_q, k, v)
+    if pad:
+        args = tuple(
+            jnp.pad(t, ((0, 0), (0, pad), (0, 0))) for t in args)
 
     def local(*ts):
         if fused:
@@ -61,17 +65,18 @@ def seq_sharded_attention(qkv_or_q, k=None, v=None, *, num_heads: int,
             return t.reshape(t.shape[0], t.shape[1], num_heads, d) \
                     .transpose(0, 2, 1, 3)
 
-        out = flash_cross_attention(heads(q_l), heads(k_f), heads(v_f))
+        out = flash_cross_attention(heads(q_l), heads(k_f), heads(v_f),
+                                    seq_len_k=s)
         return out.transpose(0, 2, 1, 3).reshape(b, s_l, hd)
 
     spec = P(None, axis, None)
-    args = (qkv_or_q,) if fused else (qkv_or_q, k, v)
     # check_vma off: pallas_call out_shapes carry no varying-mesh-axes
     # annotation (jax 0.9), and the kernel output is trivially vma-correct
     # (each shard writes only its own q rows)
-    return jax.shard_map(local, mesh=mesh,
-                         in_specs=(spec,) * len(args),
-                         out_specs=spec, check_vma=False)(*args)
+    out = jax.shard_map(local, mesh=mesh,
+                        in_specs=(spec,) * len(args),
+                        out_specs=spec, check_vma=False)(*args)
+    return out[:, :s] if pad else out
 
 
 _SEQ_CTX: list = []

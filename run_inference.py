@@ -32,6 +32,10 @@ def main() -> None:
     parser.add_argument("--int8", action="store_true",
                         help="opt-in W8A8 serving: quantize the ViT encoder"
                              " matmuls to int8 (2x MXU rate; bf16 default)")
+    parser.add_argument("--seq_shard", action="store_true",
+                        help="whole-region serving: shard the token axis "
+                             "over all devices (use with a large "
+                             "--tile_size, e.g. 1024/2048)")
     args = parser.parse_args()
 
     config_path = str(Path(args.checkpoint_dir) / "config.yaml")
@@ -63,6 +67,12 @@ def main() -> None:
         stats = load_channel_stats(cfg.data.channel_stats_path)
         names = list(cfg.data.targ_channel_names)
         dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
+        seq_mesh = None
+        if args.seq_shard:
+            from mipheivit_tpu.parallel import make_mesh
+
+            cfg.set_dotted("model.attn_impl", "seq_shard")
+            seq_mesh = make_mesh(n_data=1, n_model=jax.device_count())
         model, variables = load_generator(
             cfg, args.checkpoint_dir, (args.tile_size, args.tile_size),
             len(names), dtype=dtype,
@@ -77,7 +87,8 @@ def main() -> None:
         out = args.out or str(Path(args.wsi).with_suffix(".pred.ome.tiff"))
         wsi_inference(model, variables, args.wsi, out, names, he_norm,
                       tile_size=args.tile_size, overlap=args.overlap,
-                      batch_size=cfg.train.batch_size)
+                      batch_size=cfg.train.batch_size,
+                      seq_shard_mesh=seq_mesh)
         return
 
     dataset_name = Path(args.dataset_config_path).stem \

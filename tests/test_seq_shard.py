@@ -43,6 +43,21 @@ def test_seq_sharded_attention_matches_unsharded(rng):
                                atol=2e-5, rtol=1e-4)
 
 
+def test_seq_sharded_attention_pads_nondivisible_s(rng):
+    """S=1001 on a 4-way axis: global zero-pad + key masking must be exact
+    (the flagship's 5334 region tokens need this on 4/8-chip meshes)."""
+    from mipheivit_tpu.ops.attention import attention_qkv
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    b, h, s, d = 1, 2, 1001, 32
+    qkv = jnp.array(rng.standard_normal((b, s, 3 * h * d)), jnp.float32)
+    out = seq_sharded_attention(qkv, num_heads=h, mesh=mesh)
+    assert out.shape == (b, s, h * d)
+    ref = attention_qkv(qkv, h, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_vit_seq_shard_whole_region_matches_xla(rng):
     """Full ViT forward at whole-region token count (512^2 px -> 1024
     tokens) with attn_impl="seq_shard" on a dp2 x sp4 mesh equals the
@@ -86,6 +101,44 @@ def test_full_generator_seq_shard_matches_xla(rng):
         out = jax.jit(lambda v, x: m_s.apply(v, x, train=False))(v, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=3e-4, rtol=1e-3)
+
+
+def test_wsi_serving_seq_shard_matches_single(rng, tmp_path):
+    """run_inference --wsi --seq_shard path: region-tiled stitched serving
+    with the token axis sharded over the mesh equals the unsharded stitch
+    (within the uint8 output codec)."""
+    from mipheivit_tpu.data.stats import Normalizer
+    from mipheivit_tpu.infer import wsi_inference
+    from mipheivit_tpu.models import MipheiViT
+    from mipheivit_tpu.slideio import TiffSlide, write_pyramid
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    base = dict(img_size=(64, 64), patch_size=4, embed_dim=32, depth=2,
+                num_heads=2, mlp_hidden_dim=64, reg_tokens=0,
+                class_token=False, no_embed_class=True, remat=False,
+                lora_rank=0)                      # 16x16 = 256 tokens
+    m_x = MipheiViT(vit_cfg=ViTConfig(attn_impl="xla", **base), out_chans=2)
+    m_s = MipheiViT(vit_cfg=ViTConfig(attn_impl="seq_shard", **base),
+                    out_chans=2)
+    v = m_x.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                 train=False)
+
+    he = rng.integers(100, 255, (3, 128, 128)).astype(np.uint8)
+    slide = str(tmp_path / "wsi.tiff")
+    write_pyramid(slide, he, n_levels=2, tile_size=64)
+    norm = Normalizer({"mean": [180.0] * 3, "std": [40.0] * 3}, "he")
+    kwargs = dict(tile_size=64, overlap=16, batch_size=2, tissue_only=False,
+                  n_pyramid_levels=2)
+    out_x = wsi_inference(m_x, v, slide, str(tmp_path / "x.ome.tiff"),
+                          ["CD31", "CD3e"], norm, **kwargs)
+    out_s = wsi_inference(m_s, v, slide, str(tmp_path / "s.ome.tiff"),
+                          ["CD31", "CD3e"], norm, seq_shard_mesh=mesh,
+                          **kwargs)
+    tx, ts_ = TiffSlide(out_x), TiffSlide(out_s)
+    a = tx.read_region((0, 0), 0, tx.dimensions).astype(np.int16)
+    b = ts_.read_region((0, 0), 0, ts_.dimensions).astype(np.int16)
+    tx.close(); ts_.close()
+    assert np.max(np.abs(a - b)) <= 1             # one uint8 codec step
 
 
 def test_seq_shard_requires_scope():
