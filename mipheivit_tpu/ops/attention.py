@@ -212,14 +212,59 @@ def flash_cross_attention(q, k, v, seq_len_k: int | None = None, *,
     the local q shard and the all-gathered full k/v — same online-softmax
     kernel as ``_long_forward``, just a non-square grid. Both lengths are
     padded to 128 multiples internally; ``seq_len_k`` masks padded keys.
-    Forward-only (whole-region *training* shards the batch instead; the
-    sharded backward would need a reduce-scatter dK/dV pass).
+
+    Differentiable: the backward is an XLA recompute-from-LSE pass
+    (rectangular [Sq,Sk] probs in f32 — at sharded training scale
+    Sq = S/n_shards so the block is bandwidth-cheap), which makes
+    seq-sharded whole-region *training* work through ``jax.shard_map``
+    AD: the k/v all-gather transposes to a reduce-scatter of dK/dV
+    automatically.
     """
     b, h, sq, d = q.shape
     sk = k.shape[-2]
     seq_len_k = sk if seq_len_k is None else seq_len_k
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    return _cross_attention(q, k, v, seq_len_k, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _cross_attention(q, k, v, seq_len_k: int, interpret: bool):
+    return _cross_forward(q, k, v, seq_len_k, interpret)[0]
+
+
+def _cross_fwd_rule(q, k, v, seq_len_k, interpret):
+    out, lse = _cross_forward(q, k, v, seq_len_k, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _cross_bwd_rule(seq_len_k, interpret, residuals, g):
+    q, k, v, out, lse = residuals
+    d = q.shape[-1]
+    scale = 1.0 / float(np.sqrt(d))
+    qf, kf, vf = (t.astype(jnp.float32) for t in (q, k, v))
+    gf, of = g.astype(jnp.float32), out.astype(jnp.float32)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qf, kf,
+                        preferred_element_type=jnp.float32) * scale
+    if seq_len_k < k.shape[-2]:
+        mask = jnp.arange(k.shape[-2]) < seq_len_k
+        logits = jnp.where(mask[None, None, None, :], logits, _NEG_INF)
+    p = jnp.exp(logits - lse[..., None])
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
+    delta = jnp.sum(gf * of, axis=-1, keepdims=True)
+    ds = p * (dp - delta) * scale
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf)
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_cross_attention.defvjp(_cross_fwd_rule, _cross_bwd_rule)
+
+
+def _cross_forward(q, k, v, seq_len_k: int, interpret: bool):
+    b, h, sq, d = q.shape
+    sk = k.shape[-2]
     sq_pad = ((sq + 127) // 128) * 128
     sk_pad = ((sk + 127) // 128) * 128
     qp = _pad_to(q, sq_pad)
@@ -234,7 +279,7 @@ def flash_cross_attention(q, k, v, seq_len_k: int | None = None, *,
 
     kernel = functools.partial(_flash_kernel, seq_len=seq_len_k,
                                kv_steps=kv_steps, block_k=block_k)
-    out, _ = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=(bh, sq_pad // block_q, kv_steps),
         in_specs=[
@@ -260,7 +305,8 @@ def flash_cross_attention(q, k, v, seq_len_k: int | None = None, *,
         ),
         interpret=interpret,
     )(qf, kf, vf)
-    return out.reshape(b, h, sq_pad, d)[..., :sq, :]
+    return (out.reshape(b, h, sq_pad, d)[..., :sq, :],
+            lse.reshape(b, h, sq_pad)[..., :sq])
 
 
 def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -456,10 +502,14 @@ def _pad_to(x, s_pad):
 
 
 def _pick_heads_per_block(num_heads: int, s: int, d: int) -> int:
-    """Largest head group whose q/k/v/o blocks (double-buffered) plus the
-    per-head f32 logits stay inside the 16 MB scoped-VMEM limit — bigger
-    groups amortize grid overhead and enlarge DMAs, but the limit is hard
-    (hpb=24 at ViT-g shape compiles to an 18.8 MB stack and is rejected)."""
+    """Head group size per kernel program (hpb=12 at the ViT-g shape).
+
+    Re-swept under the raised 64 MB scoped-VMEM cap (r3,
+    scripts/profile_attn_r3{,b}.py): the cap raise alone brought the
+    production kernel 1.27 -> ~0.85 ms/block, and hpb=24 / direct-store
+    hpb=12 measure statistically tied with it — so the 2 MB block budget
+    below (which lands on hpb=12) stays, now as the *measured* optimum
+    rather than a VMEM-rejection workaround."""
     budget = 2 * 1024 * 1024
     for cand in range(num_heads, 0, -1):
         if num_heads % cand == 0 and 4 * s * cand * d * 2 <= budget:

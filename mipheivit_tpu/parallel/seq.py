@@ -35,7 +35,10 @@ def seq_sharded_attention(qkv_or_q, k=None, v=None, *, num_heads: int,
     ``axis``. Accepts either a fused qkv buffer [B, S, 3*H*D] or separate
     q/k/v. Each shard all-gathers k/v (tiled over ICI) and runs the
     rectangular flash kernel on its local q rows; the output keeps the
-    input's S sharding. Inference-only (see flash_cross_attention).
+    input's S sharding. Differentiable: the kernel's recompute-from-LSE
+    backward + shard_map AD turn the k/v all-gather into the dK/dV
+    reduce-scatter, so whole-region *training* shards over the mesh too
+    (grads verified vs unsharded in tests/test_seq_shard.py).
 
     A global S not divisible by the axis size is zero-padded to the next
     multiple before the shard_map and sliced back after (the ViT-g region
