@@ -188,7 +188,21 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
         use_cell_loss=cell_loss_fn is not None,
         freeze_model_name=cfg.model.model_name)
 
-    mesh = make_data_mesh(cfg.train.batch_size)
+    seq_shard = cfg.select("model.attn_impl", "auto") == "seq_shard"
+    if seq_shard:
+        # whole-region training: tokens shard over the mesh's model axis
+        # (parallel/seq.py), batch over the data axis. num_model_shards
+        # comes from train.mesh (config.yaml); every step call below runs
+        # inside seq_shard_scope so the attention shard_maps trace against
+        # this mesh.
+        from ..parallel import make_mesh
+
+        n_model = max(int(cfg.train.mesh.num_model_shards), 2)
+        n_data = max(len(jax.devices()) // n_model, 1)
+        mesh = make_mesh(n_data=n_data, n_model=n_model,
+                         devices=jax.devices()[:n_data * n_model])
+    else:
+        mesh = make_data_mesh(cfg.train.batch_size)
 
     sample = next(iter(dm.loader("train", epoch=0)))
     batch0 = {"image": np.asarray(sample["image"], np.float32),
@@ -203,11 +217,22 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
         _, gen_variables = _load(cfg, str(Path(cfg.model.checkpoint_path).parent),
                                  (height, width), nc_out, dtype=dtype)
 
-    state = create_train_state(
-        jax.random.PRNGKey(cfg.train.seed), model, gen_opt, disc, disc_opt,
-        sample_batch=batch0, gen_variables=gen_variables,
-        freeze_model_name=cfg.model.model_name,
-        frozen_dtype=dtype if dtype != "float32" else None)
+    def _build_state():
+        return create_train_state(
+            jax.random.PRNGKey(cfg.train.seed), model, gen_opt, disc,
+            disc_opt, sample_batch=batch0, gen_variables=gen_variables,
+            freeze_model_name=cfg.model.model_name,
+            frozen_dtype=dtype if dtype != "float32" else None)
+
+    if seq_shard:
+        # model.init inside create_train_state traces the seq-sharded
+        # attention, so it needs the scope just like the steps below
+        from ..parallel.seq import seq_shard_scope
+
+        with seq_shard_scope(mesh):
+            state = _build_state()
+    else:
+        state = _build_state()
 
     start_epoch = 0
     if resume:
@@ -226,6 +251,18 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
         model, loss_reconstruct, gen_opt, disc, disc_opt, step_cfg,
         cell_loss_fn=cell_loss_fn))
     eval_step = jax.jit(make_eval_step(model, loss_reconstruct, step_cfg))
+    if seq_shard:
+        from ..parallel.seq import seq_shard_scope
+
+        _ts, _es = train_step, eval_step
+
+        def train_step(*a, _f=_ts):  # noqa: F811
+            with seq_shard_scope(mesh):
+                return _f(*a)
+
+        def eval_step(*a, _f=_es):  # noqa: F811
+            with seq_shard_scope(mesh):
+                return _f(*a)
 
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))

@@ -162,6 +162,41 @@ def test_test_driver(synthetic_run, monkeypatch):
     assert (logdir / "test_dataframe_cell.csv").exists()
 
 
+def test_train_seq_sharded_whole_region(synthetic_run, monkeypatch):
+    """Whole-region training path through the trainer: token axis sharded
+    over a dp2 x sp4 mesh (model.attn_impl=seq_shard), prefix tokens make
+    S=69 exercise the non-divisible pad, run finishes with finite
+    metrics."""
+    import mipheivit_tpu.train.trainer as trainer_mod
+    from mipheivit_tpu.models import MipheiViT, ViTConfig
+    from mipheivit_tpu.train.trainer import train_patchgan
+
+    cfg, tmp_path = synthetic_run
+    cfg.set_dotted("model.attn_impl", "seq_shard")
+    cfg.train.mesh.num_model_shards = 4
+    cfg.train.epochs = 1
+    cfg.train.gan_train = False
+    cfg.train.use_cell_metrics = False
+    cfg.train.callbacks.modelcheckpoint.monitor = "val_gen_loss_sim"
+    cfg.train.callbacks.modelcheckpoint.mode = "min"
+
+    tiny = ViTConfig(img_size=(32, 32), patch_size=4, embed_dim=32, depth=2,
+                     num_heads=2, mlp_hidden_dim=64, reg_tokens=4,
+                     attn_impl="seq_shard", remat=False, lora_rank=4)
+    monkeypatch.setattr(
+        trainer_mod, "get_generator",
+        lambda name, w, ci, co, cfg, dtype="float32":
+        MipheiViT(vit_cfg=tiny, out_chans=co))
+
+    logdir = tmp_path / "seqshard_run"
+    train_patchgan(cfg, str(logdir), dtype="float32", use_wandb=False)
+    assert (logdir / "status.txt").read_text() == "finished"
+    lines = [json.loads(l)
+             for l in (logdir / "metrics.jsonl").read_text().splitlines()]
+    epoch_logs = [l for l in lines if "val_psnr" in l]
+    assert epoch_logs and np.isfinite(epoch_logs[-1]["val_psnr"])
+
+
 def test_nan_guard_forensics(synthetic_run, monkeypatch):
     """First-NaN forensics: the device-side accumulator names the exact
     offending step even though scalars are only fetched every ``log_every``
