@@ -28,6 +28,7 @@ evaluation/eval_orion.py:198-209). Replace A100_TILES_PER_S when measured.
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -110,7 +111,10 @@ def main(int8: bool = False):
 
     per_batch = (times[1] - times[0]) / (sizes[1] - sizes[0])
     tiles_per_s = batch / per_batch
-    kind = "int8 W8A8 serving fwd" if int8 else "bf16 fwd"
+    short = {"bfloat16": "bf16", "float32": "f32"}.get(dtype, dtype)
+    kind = "int8 W8A8 serving fwd" if int8 else f"{short} fwd"
+    if not on_tpu:
+        kind += ", CPU smoke — not a chip measurement"
     print(json.dumps({
         "metric": f"mIF tiles/sec/chip (256px, 16-ch, MIPHEI-ViT {kind})",
         "value": round(tiles_per_s, 1),
@@ -188,6 +192,29 @@ def wsi_main(slide_px: int, batch_size: int = 0):
     }))
 
 
+def _tpu_reachable(timeout_s: int = 120) -> bool:
+    """Probe device attach in a subprocess with a hard timeout.
+
+    The axon tunnel relay can die (observed mid-round 2026-08-17), and a
+    dead relay makes backend *initialization* block forever — in-process
+    try/except can't catch that. If the probe fails, the caller falls back
+    to JAX_PLATFORMS=cpu so the script still emits an (honestly labeled)
+    JSON line instead of hanging the driver.
+    """
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return False
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return res.returncode == 0 and "ok" in res.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--int8", action="store_true",
@@ -197,6 +224,16 @@ if __name__ == "__main__":
     ap.add_argument("--slide-px", type=int, default=4096)
     ap.add_argument("--batch-size", type=int, default=0)
     args = ap.parse_args()
+    ambient_cpu = os.environ.get("JAX_PLATFORMS", "") == "cpu"
+    if not ambient_cpu and not _tpu_reachable():
+        print("[bench] TPU unreachable (tunnel relay down?) — falling back "
+              "to a CPU smoke run; the emitted number is NOT a chip "
+              "measurement", file=sys.stderr)
+        # re-exec: the sitecustomize captures the TPU-claim trigger at
+        # interpreter start, so an in-process env pop is too late
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
     if args.wsi:
         wsi_main(args.slide_px, args.batch_size)
     else:
