@@ -24,11 +24,14 @@ def main():
     from mipheivit_tpu.train.steps import StepConfig, make_train_step
     from scripts.profile_train_r3 import build, make_timer
 
-    b = 16
-    print(f"backend={jax.default_backend()}  B={b}", flush=True)
+    import ast
+
+    cases = ast.literal_eval(sys.argv[1]) if len(sys.argv) > 1 else \
+        [("full", 16), ("dots", 16)]
+    print(f"backend={jax.default_backend()}", flush=True)
     metrics0 = PixelMetrics.zeros()
 
-    for policy in ("full", "dots"):
+    for policy, b in cases:
         try:
             model, disc, loss_fn, gen_opt, disc_opt, state, batch = build(b)
             if policy != "full":
@@ -38,8 +41,8 @@ def main():
                 model, loss_fn, gen_opt, disc, disc_opt,
                 StepConfig(gan_train=True, freeze_model_name="myvitmatte")))
             t = make_timer(step, state, batch, metrics0)()
-            print(f"gan_step remat_policy={policy:5s} {t*1e3:8.1f} ms/step"
-                  f"   {b/t:6.1f} tiles/s", flush=True)
+            print(f"gan_step remat_policy={policy:5s} B={b:3d} "
+                  f"{t*1e3:8.1f} ms/step   {b/t:6.1f} tiles/s", flush=True)
         except Exception as e:
             print(f"remat_policy={policy}: FAILED {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)
