@@ -279,13 +279,17 @@ def wsi_inference(
     def _drain_one():
         nonlocal device_wait_s, stitch_s, t_first_drain, tiles_drained
         pred_dev, coords, n = pending.popleft()
+        first = t_first_drain is None
         t0 = time.perf_counter()
         # fetch in f16 (half the transfer), but widen immediately: numpy
         # f16 arithmetic is scalar-emulated (~50x slower) and would move
         # the bottleneck into the feathered accumulator
         preds = np.asarray(pred_dev)[:n].astype(np.float32)
         t1 = time.perf_counter()
-        device_wait_s += t1 - t0
+        if not first:
+            # skip the compile-absorbing first batch so the accumulated
+            # device-wait matches the steady window it is subtracted from
+            device_wait_s += t1 - t0
         for pred, (tx, ty) in zip(preds, coords):
             rolling.add(pred, tx, ty, window)
         stitch_s += time.perf_counter() - t1
@@ -327,9 +331,9 @@ def wsi_inference(
     if n_batches:
         log.info(
             "WSI pipeline: %d batches, read-starvation %.1f ms/batch, "
-            "device-wait %.1f ms/batch",
+            "device-wait %.1f ms/batch (steady window)",
             n_batches, 1000.0 * read_wait_s / n_batches,
-            1000.0 * device_wait_s / n_batches)
+            1000.0 * device_wait_s / max(n_batches - 1, 1))
     if stats is not None:
         stats.update({
             "n_tiles": int(n_tiles_seen), "n_batches": int(n_batches),
@@ -340,6 +344,7 @@ def wsi_inference(
             "steady_s": (t_drained - t_first_drain
                          if t_first_drain is not None else 0.0),
             "steady_tiles": int(max(tiles_drained - batch_size, 0)),
+            "steady_batches": int(max(n_batches - 1, 0)),
             "read_wait_s": read_wait_s, "device_wait_s": device_wait_s,
             "stitch_s": stitch_s, "finalize_s": finalize_s,
         })

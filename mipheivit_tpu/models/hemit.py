@@ -45,6 +45,7 @@ class _Norm(nn.Module):
 class HemitResnetBlock(nn.Module):
     dim: int
     norm: str = "batch"
+    use_dropout: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -52,6 +53,10 @@ class HemitResnetBlock(nn.Module):
         h = nn.Conv(self.dim, (3, 3), padding="VALID", name="conv1",
                     dtype=x.dtype)(h)
         h = nn.relu(_Norm(self.norm, name="n1")(h, train))
+        if self.use_dropout:
+            # reference ResnetBlock: Dropout(0.5) between the two convs
+            # (hemit_models.py:285-286)
+            h = nn.Dropout(0.5, deterministic=not train)(h)
         h = _rpad(h, 1)
         h = nn.Conv(self.dim, (3, 3), padding="VALID", name="conv2",
                     dtype=x.dtype)(h)
@@ -181,6 +186,7 @@ class ResnetGenerator(nn.Module):
     ngf: int = 64
     n_blocks: int = 9
     norm: str = "instance"
+    use_dropout: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -196,6 +202,7 @@ class ResnetGenerator(nn.Module):
             h = nn.relu(_Norm(self.norm, name=f"down{i}_norm")(h, train))
         for i in range(self.n_blocks):
             h = HemitResnetBlock(self.ngf * 4, self.norm,
+                                 use_dropout=self.use_dropout,
                                  name=f"res{i}")(h, train)
         for i in range(2):
             mult = 2 ** (2 - i)
@@ -217,6 +224,7 @@ class UnetGenerator(nn.Module):
     num_downs: int = 7
     ngf: int = 64
     norm: str = "batch"
+    use_dropout: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -236,6 +244,12 @@ class UnetGenerator(nn.Module):
             h = TorchConvTranspose(c, (4, 4), strides=(2, 2), padding=1,
                                    name=f"up{i}", dtype=h.dtype)(h)
             h = _Norm(self.norm, name=f"up{i}_norm")(h, train)
+            if self.use_dropout and 1 <= i <= self.num_downs - 5:
+                # reference UnetSkipConnectionBlock: Dropout(0.5) after the
+                # up-norm of the intermediate ngf*8 blocks only — not the
+                # innermost (up0) nor the outer resolution blocks
+                # (hemit_models.py:327,395-396)
+                h = nn.Dropout(0.5, deterministic=not train)(h)
             h = jnp.concatenate([h, skips[self.num_downs - 2 - i]], axis=-1)
         h = nn.relu(h)
         h = TorchConvTranspose(self.out_channels, (4, 4), strides=(2, 2),
@@ -311,11 +325,11 @@ def build_hemit_netG(netG: str, img_size, nc_in: int, nc_out: int,
     if netG in ("resnet_9blocks", "resnet_6blocks"):
         return ResnetGenerator(out_channels=nc_out, ngf=64,
                                n_blocks=9 if netG.endswith("9blocks") else 6,
-                               norm=norm)
+                               norm=norm, use_dropout=use_dropout)
     if netG in ("unet_128", "unet_256", "unet_1024"):
         num_downs = {"unet_128": 7, "unet_256": 8, "unet_1024": 10}[netG]
         return UnetGenerator(out_channels=nc_out, num_downs=num_downs,
-                             ngf=64, norm=norm)
+                             ngf=64, norm=norm, use_dropout=use_dropout)
     if netG == "swinT":
         from .hemit_hybrid import HybridSwinT
 

@@ -154,9 +154,14 @@ def ln_qkv_attention(x, ln_scale, ln_bias, w, b, num_heads: int,
     hd = w.shape[-1] // 3
     head_dim = hd // num_heads
     on_tpu = jax.default_backend() == "tpu"
+    # S % 8: the kernel's BlockSpec uses the full S as a block dim, so a
+    # sublane-misaligned S (e.g. the flagship's 329) must not be routed to
+    # Mosaic by the auto gate (explicit impl="pallas" still allowed for
+    # experiments). ops/attention.py pads S instead; this fused block op
+    # is only a profiling alternative.
     use_kernel = (
         impl in ("pallas", "pallas_interpret")
-        or (impl == "auto" and on_tpu)
+        or (impl == "auto" and on_tpu and x.shape[1] % 8 == 0)
     ) and head_dim % 8 == 0 and d % 128 == 0 and hd % 128 == 0 \
         and 8 <= x.shape[1] <= 1024
     if not use_kernel:

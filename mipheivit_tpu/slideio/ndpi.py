@@ -118,13 +118,19 @@ def _decode_tag(endian, typ, count, data):
 
 class _JpegStream:
     """Marker map of one single-strip JPEG: header span, SOF height patch
-    offset, MCU geometry, restart-segment spans inside the entropy data."""
+    offset, MCU geometry, restart-segment spans inside the entropy data.
 
-    def __init__(self, buf: bytes):
+    ``plane_w``/``plane_h`` are the authoritative dimensions from the TIFF
+    tags: gigapixel NDPI planes (>65535 px — the usual case for the base
+    level of a 40x slide) cannot fit their width in the 16-bit SOF field
+    and store 0 there, so the SOF values are only trusted as a fallback.
+    """
+
+    def __init__(self, buf: bytes, plane_w: int = 0, plane_h: int = 0):
         self.buf = buf
         self.dri = 0
-        self.height = 0
-        self.width = 0
+        self.sof_height = 0
+        self.sof_width = 0
         self.ncomp = 1
         self.sof_height_off = None
         max_h = max_v = 1
@@ -140,7 +146,7 @@ class _JpegStream:
             seg_len = struct.unpack(">H", buf[i + 2:i + 4])[0]
             if marker in (0xC0, 0xC1, 0xC2):
                 self.sof_height_off = i + 5
-                self.height, self.width = struct.unpack(
+                self.sof_height, self.sof_width = struct.unpack(
                     ">HH", buf[i + 5:i + 9])
                 self.ncomp = buf[i + 9]
                 for c in range(self.ncomp):
@@ -157,6 +163,8 @@ class _JpegStream:
             raise IOError("no SOS marker in NDPI strip")
         self.mcu_w = 8 * max_h
         self.mcu_h = 8 * max_v
+        self.width = plane_w or self.sof_width
+        self.height = plane_h or self.sof_height
         self.segments: List[Tuple[int, int]] = []
         self._scan_entropy()
 
@@ -183,30 +191,63 @@ class _JpegStream:
             self.segments.append((seg_start, n))
         del i
 
+    def mcus_per_row(self) -> int:
+        return -(-self.width // self.mcu_w) if self.width else 0
+
     def rows_per_segment(self) -> Optional[int]:
-        if not self.dri:
+        """Pixel rows per restart segment, when segments span whole MCU
+        rows (DRI an integer multiple of the MCU row). None otherwise."""
+        mpr = self.mcus_per_row()
+        if not self.dri or not mpr or self.dri % mpr:
             return None
-        mcus_per_row = -(-self.width // self.mcu_w)
-        if self.dri % mcus_per_row:
+        return (self.dri // mpr) * self.mcu_h
+
+    def segs_per_row(self) -> Optional[int]:
+        """Restart segments per MCU row, when DRI evenly subdivides the
+        row (sub-row segments — how gigapixel-wide planes are decodable
+        in rectangular chunks). None otherwise."""
+        mpr = self.mcus_per_row()
+        if not self.dri or not mpr or mpr % self.dri:
             return None
-        return (self.dri // mcus_per_row) * self.mcu_h
+        return mpr // self.dri
 
     def band_jpeg(self, seg0: int, seg1: int, band_rows: int,
-                  width_hint: int = 0) -> bytes:
-        """Valid standalone JPEG for entropy segments [seg0, seg1)."""
+                  band_width: int = 0) -> bytes:
+        """Valid standalone JPEG for entropy segments [seg0, seg1).
+
+        The SOF height is patched to ``band_rows``; the SOF width is
+        patched to ``band_width`` when given (required when the original
+        header stores width 0, and when decoding sub-row chunks).
+        """
+        width = band_width or self.sof_width
+        if not 0 < width <= 0xFFFF or not 0 < band_rows <= 0xFFFF:
+            raise IOError(
+                f"NDPI band {width}x{band_rows} exceeds the 16-bit JPEG "
+                "SOF field — cannot re-assemble a decodable band")
         parts = [bytearray(self.buf[:self.header_end])]
-        parts[0][self.sof_height_off:self.sof_height_off + 2] = \
-            struct.pack(">H", band_rows)
-        if self.width == 0 and 0 < width_hint <= 0xFFFF:
-            # huge NDPI planes store width 0 in the SOF header
-            parts[0][self.sof_height_off + 2:self.sof_height_off + 4] = \
-                struct.pack(">H", width_hint)
+        parts[0][self.sof_height_off:self.sof_height_off + 4] = \
+            struct.pack(">HH", band_rows, width)
         for j, (s, e) in enumerate(self.segments[seg0:seg1]):
             if j > 0:
                 parts.append(bytes((0xFF, 0xD0 + ((j - 1) % 8))))
             parts.append(self.buf[s:e])
         parts.append(b"\xff\xd9")
         return b"".join(bytes(p) for p in parts)
+
+    def full_jpeg(self) -> bytes:
+        """The whole strip, with SOF dims patched from the TIFF tags when
+        the header stores 0 (gigapixel quirk)."""
+        if (self.sof_width, self.sof_height) == (self.width, self.height):
+            return self.buf
+        if not (0 < self.width <= 0xFFFF and 0 < self.height <= 0xFFFF):
+            raise IOError(
+                f"NDPI plane {self.width}x{self.height} exceeds the JPEG "
+                "SOF limit and has no usable restart-marker structure — "
+                "whole-strip decode impossible")
+        out = bytearray(self.buf)
+        out[self.sof_height_off:self.sof_height_off + 4] = \
+            struct.pack(">HH", self.height, self.width)
+        return bytes(out)
 
 
 class NdpiSlide:
@@ -232,6 +273,10 @@ class NdpiSlide:
         self._file = open(self.path, "rb")
         self._streams: Dict[int, _JpegStream] = {}
         self._full_cache: Dict[int, np.ndarray] = {}
+        # widest band JPEG we will re-assemble (16-bit SOF limit); levels
+        # wider than this go through the per-restart-segment wide path.
+        # Overridable so tests can exercise the wide path on small planes.
+        self._max_band_px = 0xFFFF
 
         w0, h0 = int(levels[0][_TAG_WIDTH]), int(levels[0][_TAG_HEIGHT])
         self.dimensions = (w0, h0)
@@ -273,7 +318,8 @@ class NdpiSlide:
     def _stream(self, level: int) -> _JpegStream:
         st = self._streams.get(level)
         if st is None:
-            st = _JpegStream(self._strip_bytes(level))
+            w, h = self.level_dimensions[level]
+            st = _JpegStream(self._strip_bytes(level), w, h)
             self._streams[level] = st
         return st
 
@@ -298,7 +344,7 @@ class NdpiSlide:
         if rps is None or not st.segments or len(st.segments) < 2:
             arr = self._full_cache.get(level)
             if arr is None:
-                arr = self._decode(st.buf)
+                arr = self._decode(st.full_jpeg())
                 self._full_cache[level] = arr
             return arr, 0
         # One MCU row of margin each side: libjpeg's fancy chroma
@@ -308,8 +354,54 @@ class NdpiSlide:
         seg0 = max(0, y0 // rps - 1)
         seg1 = min(-(-y1 // rps) + 1, len(st.segments))
         band_rows = min(seg1 * rps, h) - seg0 * rps
-        jpeg = st.band_jpeg(seg0, seg1, band_rows)
+        jpeg = st.band_jpeg(seg0, seg1, band_rows, w)
         return self._decode(jpeg), seg0 * rps
+
+    def _read_rows_wide(self, level: int, y0: int, y1: int,
+                        x0: int, x1: int) -> Tuple[np.ndarray, int, int]:
+        """Rectangular per-restart-segment decode for planes too wide for
+        a single band JPEG (width 0 in the SOF, >65535 px — openslide's
+        hamamatsu approach). Requires DRI to evenly subdivide the MCU row;
+        returns (array, first_row, first_col).
+
+        Caveat: chroma upsampling cannot interpolate across chunk seams
+        (entropy decoding can only start at a restart marker), so
+        subsampled streams may differ from a hypothetical whole-plane
+        decode by ±1 LSB along chunk borders.
+        """
+        w, h = self.level_dimensions[level]
+        st = self._stream(level)
+        spr = st.segs_per_row()
+        chunk_w = st.dri * st.mcu_w
+        if spr is None or chunk_w > self._max_band_px:
+            raise IOError(
+                f"{self.path}: level {level} is {w}px wide (JPEG SOF "
+                f"limit 65535) and its restart interval dri={st.dri} does "
+                f"not subdivide the {st.mcus_per_row()}-MCU row into "
+                "decodable chunks — unsupported NDPI layout")
+        r0 = max(0, y0 // st.mcu_h)
+        r1 = min(-(-y1 // st.mcu_h), -(-h // st.mcu_h))
+        c0 = max(0, x0 // chunk_w)
+        c1 = min(-(-x1 // chunk_w), spr)
+        out = np.zeros((min(r1 * st.mcu_h, h) - r0 * st.mcu_h,
+                        min(c1 * chunk_w, w) - c0 * chunk_w,
+                        self.n_channels), np.uint8)
+        for r in range(r0, r1):
+            oy = (r - r0) * st.mcu_h
+            ny = out.shape[0] - oy
+            for c in range(c0, c1):
+                seg = r * spr + c
+                if seg >= len(st.segments):
+                    break
+                # decode the chunk at its full encoded MCU extent, crop on
+                # paste (partial trailing MCUs are encoded full-size)
+                arr = self._decode(st.band_jpeg(seg, seg + 1, st.mcu_h,
+                                                chunk_w))
+                ox = (c - c0) * chunk_w
+                nx = out.shape[1] - ox
+                out[oy:oy + st.mcu_h,
+                    ox:ox + chunk_w] = arr[:ny, :nx, :self.n_channels]
+        return out, r0 * st.mcu_h, c0 * chunk_w
 
     def read_region(self, location: Tuple[int, int], level: int,
                     size: Tuple[int, int]) -> np.ndarray:
@@ -322,8 +414,12 @@ class NdpiSlide:
         x0 = max(0, x)
         x1 = min(w, x + wreq)
         if y1 > y0 and x1 > x0:
-            band, first = self._read_rows(level, y0, y1)
-            sub = band[y0 - first:y1 - first, x0:x1]
+            if w > self._max_band_px:
+                band, fy, fx = self._read_rows_wide(level, y0, y1, x0, x1)
+            else:
+                band, fy = self._read_rows(level, y0, y1)
+                fx = 0
+            sub = band[y0 - fy:y1 - fy, x0 - fx:x1 - fx]
             out[y0 - y:y0 - y + sub.shape[0],
                 x0 - x:x0 - x + sub.shape[1]] = sub[..., :self.n_channels]
         return out

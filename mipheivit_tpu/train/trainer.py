@@ -197,8 +197,17 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
         # this mesh.
         from ..parallel import make_mesh
 
-        n_model = max(int(cfg.train.mesh.num_model_shards), 2)
-        n_data = max(len(jax.devices()) // n_model, 1)
+        n_model = int(cfg.train.mesh.num_model_shards)
+        n_dev = len(jax.devices())
+        if n_model < 2 or n_model > n_dev:
+            raise ValueError(
+                f"model.attn_impl=seq_shard needs train.mesh."
+                f"num_model_shards in [2, {n_dev}] (sequence shards must "
+                f"span >=2 devices and fit the {n_dev} visible devices); "
+                f"got {n_model}. Set train.mesh.num_model_shards "
+                "explicitly, or use attn_impl=auto for single-device "
+                "attention.")
+        n_data = max(n_dev // n_model, 1)
         mesh = make_mesh(n_data=n_data, n_model=n_model,
                          devices=jax.devices()[:n_data * n_model])
     else:

@@ -188,3 +188,30 @@ def test_build_hemit_netg_dispatch():
     assert m.num_downs == 10 and m.patch_size == 32
     with pytest.raises(NotImplementedError):
         build_hemit_netG("nope", 256, 3, 4)
+
+
+def test_build_hemit_netg_use_dropout_plumbed():
+    """use_dropout reaches the resnet/unet generators (reference
+    get_generator_hemit forwards it — ADVICE r3 low): train-mode applies
+    with different dropout rngs differ, eval mode is deterministic."""
+    import jax
+    import jax.numpy as jnp
+
+    for netG in ("resnet_6blocks", "unet_128"):
+        m = m_drop = build_hemit_netG(netG, 128, 3, 4, use_dropout=True)
+        assert m_drop.use_dropout
+        x = jnp.ones((1, 128, 128, 3), jnp.float32)
+        v = m.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, x, train=True)
+        outs = [m.apply(v, x, train=True,
+                        rngs={"dropout": jax.random.PRNGKey(k)},
+                        mutable=["batch_stats"])[0] for k in (2, 3)]
+        assert not jnp.allclose(outs[0], outs[1])
+        e1 = m.apply(v, x, train=False)
+        e2 = m.apply(v, x, train=False)
+        assert jnp.allclose(e1, e2)
+        # param tree is unchanged by dropout (no new params)
+        m_plain = build_hemit_netG(netG, 128, 3, 4, use_dropout=False)
+        v_plain = m_plain.init(jax.random.PRNGKey(0), x, train=False)
+        assert (jax.tree_util.tree_structure(v_plain["params"])
+                == jax.tree_util.tree_structure(v["params"]))

@@ -133,6 +133,93 @@ def test_ndpi_read_region_matches_full_decode(ndpi_fixture):
     slide.close()
 
 
+def _zero_sof_dims(jpeg: bytes) -> bytes:
+    """Simulate the gigapixel NDPI quirk: width/height 0 in the SOF
+    header (planes >65535 px cannot fit the 16-bit field)."""
+    st = _JpegStream(jpeg)
+    out = bytearray(jpeg)
+    out[st.sof_height_off:st.sof_height_off + 4] = b"\0\0\0\0"
+    return bytes(out)
+
+
+def test_ndpi_zero_sof_dims_reads_from_tags(tmp_path, rng):
+    """Width/height come from the TIFF tags when the SOF stores 0 —
+    the layout of every real 40x base plane (ADVICE r3 high)."""
+    import cv2
+
+    w, h = 96, 64
+    img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    jpeg = _restart_jpeg(img, rows=1)
+    full = cv2.imdecode(np.frombuffer(jpeg, np.uint8), cv2.IMREAD_COLOR)
+    full = full[..., ::-1]
+    path = tmp_path / "zerosof.ndpi"
+    _write_ndpi(path, [(_zero_sof_dims(jpeg), (w, h))])
+    slide = NdpiSlide(path)
+    assert slide.dimensions == (w, h)
+    st = slide._stream(0)
+    assert st.sof_width == 0 and st.width == w
+    assert st.rows_per_segment() is not None   # no ZeroDivisionError
+    for (x, y, rw, rh) in ((0, 0, w, h), (5, 3, 40, 33)):
+        got = slide.read_region((x, y), 0, (rw, rh))
+        np.testing.assert_array_equal(got, full[y:y + rh, x:x + rw])
+    slide.close()
+
+
+def test_ndpi_wide_plane_chunk_decode(tmp_path, rng):
+    """Per-restart-segment rectangular decode for planes wider than the
+    SOF limit: force the wide path on a small plane whose DRI subdivides
+    the MCU row (4:4:4 so no chroma-seam tolerance is needed)."""
+    import io
+
+    import cv2
+    from PIL import Image
+
+    w, h = 96, 64
+    img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    # dri=4 MCUs -> 3 chunks of 32 px per 12-MCU row
+    Image.fromarray(img).save(buf, "JPEG", quality=92, subsampling=0,
+                              restart_marker_blocks=4)
+    jpeg = buf.getvalue()
+    full = cv2.imdecode(np.frombuffer(jpeg, np.uint8), cv2.IMREAD_COLOR)
+    full = full[..., ::-1]
+    path = tmp_path / "wide.ndpi"
+    _write_ndpi(path, [(_zero_sof_dims(jpeg), (w, h))])
+    slide = NdpiSlide(path)
+    slide._max_band_px = 33            # 96 > 33 -> wide path; chunk_w=32 ok
+    st = slide._stream(0)
+    assert st.segs_per_row() == 3 and st.rows_per_segment() is None
+    for (x, y, rw, rh) in ((0, 0, w, h), (16, 8, 48, 24), (37, 5, 45, 50),
+                           (80, 48, 32, 32)):   # past-edge padded read
+        got = slide.read_region((x, y), 0, (rw, rh))
+        vy, vx = min(h - y, rh), min(w - x, rw)
+        np.testing.assert_array_equal(got[:vy, :vx],
+                                      full[y:y + vy, x:x + vx])
+        assert (got[vy:] == 0).all() and (got[:, vx:] == 0).all()
+    slide.close()
+
+
+def test_ndpi_wide_plane_bad_dri_raises(tmp_path, rng):
+    """A wide plane whose DRI does not subdivide the MCU row raises a
+    clear IOError instead of ZeroDivisionError."""
+    import io
+
+    from PIL import Image
+
+    w, h = 96, 64
+    img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=92, subsampling=0,
+                              restart_marker_blocks=5)   # 5 does not divide 12
+    path = tmp_path / "baddri.ndpi"
+    _write_ndpi(path, [(_zero_sof_dims(buf.getvalue()), (w, h))])
+    slide = NdpiSlide(path)
+    slide._max_band_px = 33
+    with pytest.raises(IOError, match="restart interval"):
+        slide.read_region((0, 0), 0, (32, 32))
+    slide.close()
+
+
 def test_ndpi_padded_reads_and_reader(ndpi_fixture):
     import cv2
 

@@ -197,6 +197,24 @@ def test_train_seq_sharded_whole_region(synthetic_run, monkeypatch):
     assert epoch_logs and np.isfinite(epoch_logs[-1]["val_psnr"])
 
 
+def test_train_seq_sharded_rejects_bad_shard_count(synthetic_run):
+    """seq_shard with the default num_model_shards=1 (or more shards than
+    devices) is a config error with a clear message, not an opaque mesh
+    reshape failure (ADVICE r3 medium)."""
+    from mipheivit_tpu.train.trainer import train_patchgan
+
+    cfg, tmp_path = synthetic_run
+    cfg.set_dotted("model.attn_impl", "seq_shard")
+    cfg.train.epochs = 1
+    cfg.train.gan_train = False
+    cfg.train.use_cell_metrics = False
+    for bad in (1, 1024):
+        cfg.train.mesh.num_model_shards = bad
+        with pytest.raises(ValueError, match="num_model_shards"):
+            train_patchgan(cfg, str(tmp_path / f"bad_{bad}"),
+                           dtype="float32", use_wandb=False)
+
+
 def test_nan_guard_forensics(synthetic_run, monkeypatch):
     """First-NaN forensics: the device-side accumulator names the exact
     offending step even though scalars are only fetched every ``log_every``
