@@ -50,19 +50,24 @@ def build_forward(cfg, checkpoint_dir: str, width: int, height: int,
 def run_cell_accumulation(cfg, fwd, dataframe, slide_dataframe,
                           crop: int = 256, batch_size: int = 4,
                           scale_factor: float = 1.0,
-                          slide_key: str = "slide_name"):
+                          slide_key: str = "slide_name",
+                          he_norm: Normalizer | None = None):
     """Stream tiles through the generator, pooling per-nucleus stats.
 
     ``scale_factor`` < 1 runs inference at a downsampled resolution and
     bilinearly re-upsamples predictions (eval_hemit 20x trick — reference:
-    evaluation/eval_hemit.py:157-166, 216-219).
+    evaluation/eval_hemit.py:157-166, 216-219). ``he_norm`` overrides the
+    config-derived input normalization (the immucan hemit-pipeline eval
+    uses the pix2pix 127.5 constants — reference:
+    eval_immucan_hemit_pipeline.py:125-126).
     """
     from mipheivit_tpu.ops.resize import resize_bilinear
 
-    channel_stats = load_channel_stats(cfg.data.channel_stats_path)
-    he_norm = Normalizer(get_input_mean_std(
-        cfg.model.model_name, cfg.select("model.encoder.encoder_name"),
-        channel_stats.rgb), mode="he")
+    if he_norm is None:
+        channel_stats = load_channel_stats(cfg.data.channel_stats_path)
+        he_norm = Normalizer(get_input_mean_std(
+            cfg.model.model_name, cfg.select("model.encoder.encoder_name"),
+            channel_stats.rgb), mode="he")
     dataset = TileImg2ImgDataset(
         dataframe, preprocess_input_fn=he_norm,
         spatial_augmentations=SpatialAugment(crop, crop, training=False),

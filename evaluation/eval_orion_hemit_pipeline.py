@@ -69,7 +69,11 @@ def build_hemit_forward(checkpoint_dir: str, width: int, nc_out: int,
                 f"no checkpoint importer for netG={netG!r}")
         params, stats = importer(state, model, (width, width))
     variables = {"params": params, "batch_stats": stats}
-    return jax.jit(lambda x: model.apply(variables, x, train=False))
+    # HEMIT generators emit tanh [-1, 1]; CellMetrics expects the IF codec
+    # range [-0.9, 0.9]. The reference rescales (out+1)/2*1.8-0.9 == 0.9*out
+    # before every update (eval_orion_hemit_pipeline.py:187-191,
+    # eval_immucan_hemit_pipeline.py:164-167).
+    return jax.jit(lambda x: model.apply(variables, x, train=False) * 0.9)
 
 
 def main():

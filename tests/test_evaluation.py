@@ -179,6 +179,98 @@ def test_eval_hemit_end_to_end(eval_setup, monkeypatch, tmp_path):
     assert (out / "hemit_cell_dataframe.csv").exists()
 
 
+def _tiny_hemit_forward_factory(nc_out_holder):
+    """Stand-in for build_hemit_forward: tanh-range tiny conv generator,
+    rescaled by 0.9 exactly like the real builder (reference
+    eval_*_hemit_pipeline rescale, :187-191)."""
+    import jax
+
+    def build(checkpoint_dir, width, nc_out, old_timm_layout=True,
+              netG="SwinTResnet"):
+        nc_out_holder.append((netG, old_timm_layout))
+        key = jax.random.PRNGKey(0)
+        w = jax.random.normal(key, (1, 1, 3, nc_out)) * 0.1
+
+        @jax.jit
+        def fwd(x):
+            out = jnp.tanh(jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")))
+            return out * 0.9
+
+        return fwd
+
+    return build
+
+
+def test_eval_orion_hemit_pipeline_end_to_end(eval_setup, monkeypatch):
+    """HEMIT-codebase checkpoint twin of eval_orion: same cell pipeline,
+    generator swapped (reference: evaluation/eval_orion_hemit_pipeline.py)."""
+    ckpt_dir, tmp_path = eval_setup
+    import eval_orion_hemit_pipeline as ehp
+
+    calls = []
+    monkeypatch.setattr(ehp, "build_hemit_forward",
+                        _tiny_hemit_forward_factory(calls))
+    monkeypatch.setattr(sys, "argv",
+                        ["eval_orion_hemit_pipeline.py",
+                         "--checkpoint_dir", ckpt_dir,
+                         "--dataset_config_path", "/nonexistent.yaml",
+                         "--batch_size", "2"])
+    ehp.main()
+    assert calls == [("SwinTResnet", True)]
+    out = Path(ckpt_dir)
+    results = pd.read_csv(out / "results_logreg.csv")
+    assert set(results["Marker"]) == {"CD31_pos", "CD3e_pos"}
+    assert np.isfinite(results["ROC AUC"]).all()
+    assert (out / "logreg.npz").exists()
+
+
+def test_eval_immucan_hemit_pipeline_end_to_end(eval_setup, monkeypatch):
+    """IMMUCAN tile-Pearson over a HEMIT-pipeline checkpoint (reference:
+    evaluation/eval_immucan_hemit_pipeline.py:98-195): needs the ORION
+    logreg first, then emits immucan_corr.csv / immucan_tile_sums.csv."""
+    ckpt_dir, tmp_path = eval_setup
+    import eval_immucan_hemit_pipeline as eihp
+    import eval_orion_hemit_pipeline as ehp
+
+    calls = []
+    monkeypatch.setattr(ehp, "build_hemit_forward",
+                        _tiny_hemit_forward_factory(calls))
+    monkeypatch.setattr(eihp, "build_hemit_forward",
+                        _tiny_hemit_forward_factory(calls))
+    # logreg gate comes from the checkpoint folder (reference :141-144)
+    monkeypatch.setattr(sys, "argv",
+                        ["eval_orion_hemit_pipeline.py",
+                         "--checkpoint_dir", ckpt_dir,
+                         "--dataset_config_path", "/nonexistent.yaml",
+                         "--batch_size", "2"])
+    ehp.main()
+
+    test_df = pd.read_csv(Path(tmp_path) / "test.csv")
+    test_df["CD3e_count"] = np.arange(len(test_df))
+    test_df["CD31_count"] = np.arange(len(test_df))[::-1]
+    imm_csv = Path(tmp_path) / "immucan.csv"
+    test_df.to_csv(imm_csv, index=False)
+    from mipheivit_tpu.config import load_yaml, save_config as _save
+
+    cfg = load_yaml(Path(ckpt_dir) / "config.yaml")
+    cfg.data.test_dataframe_path = str(imm_csv)
+    _save(cfg, Path(ckpt_dir) / "config.yaml")
+
+    monkeypatch.setattr(sys, "argv",
+                        ["eval_immucan_hemit_pipeline.py",
+                         "--checkpoint_dir", ckpt_dir,
+                         "--dataset_config_path", "/nonexistent.yaml",
+                         "--batch_size", "2"])
+    eihp.main()
+    assert (Path(ckpt_dir) / "immucan_corr.csv").exists()
+    corr = pd.read_csv(Path(ckpt_dir) / "immucan_corr.csv")
+    assert "CD3e" in set(corr["Marker"])
+    sums = pd.read_csv(Path(ckpt_dir) / "immucan_tile_sums.csv")
+    assert "CD3e_pos_logreg" in sums.columns
+
+
 def test_marker_figures_script(tmp_path, rng):
     """figures/marker_figures.py: per-marker metrics + three PNG artifacts
     from a synthetic test_dataframe_cell.csv (reference L7 parity)."""
