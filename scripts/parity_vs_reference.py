@@ -147,8 +147,41 @@ def pearson_per_marker(pred_sum, ref_sum, pred_sq, ref_sq, cross, n):
     return cov / np.sqrt(np.maximum(var_p * var_r, 1e-20))
 
 
+def golden_check() -> int:
+    """Run the committed golden-fixture lock (same fixture as
+    tests/test_model_parity.py::test_flagship_geometry_golden_fixture):
+    deterministic torch-layout checkpoint -> import -> forward at flagship
+    geometry vs frozen torch-oracle activations. Torch-free; exercises the
+    exact import path a released checkpoint takes."""
+    import json
+
+    from make_parity_fixtures import TAPS, run_jax
+
+    path = REPO / "tests/fixtures/parity_flagship_geom.npz"
+    z = np.load(path)
+    meta = json.loads(str(z["meta"]))
+    enc_j, taps_j, out_j = run_jax(
+        [(k, tuple(s)) for k, s in meta["keys_shapes"]])
+    tol = meta["tol"]
+    checks = [(f"tap{i}", taps_j[k], z[f"tap{i}"], tol["tap"])
+              for k, i in enumerate(TAPS)]
+    checks += [("enc", enc_j, z["enc"], tol["enc"]),
+               ("out", out_j, z["out"], tol["out"])]
+    ok = True
+    for name, got, want, budget in checks:
+        d = float(np.max(np.abs(got - want)))
+        line_ok = d <= budget
+        ok &= line_ok
+        print(f"golden {name}: max|diff| = {d:.2e} "
+              f"(budget {budget:.0e}) {'OK' if line_ok else 'FAIL'}")
+    print("golden fixture:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
+    if (argv if argv is not None else sys.argv[1:])[:1] == ["--golden"]:
+        raise SystemExit(golden_check())
     parser.add_argument("--checkpoint_dir", required=True)
     parser.add_argument("--tiles", required=True)
     parser.add_argument("--reference_outputs", default=None)

@@ -277,3 +277,35 @@ def test_phase_packed_conv_matches_xla(rng):
         out = np.asarray(BasicConv3x3(k, stride=1, impl="phase_packed")
                          .apply(vs, x, train=False))
         np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_flagship_geometry_golden_fixture():
+    """Golden-fixture regression lock (VERDICT r3 #7): deterministic
+    torch-layout checkpoint -> mipheivit_from_torch -> forward at flagship
+    geometry (patch 14 / 329 tokens / depth 40 / head_dim 64 / 14->16
+    bicubic regrid / 16 heads) must match the frozen torch-oracle
+    activations at blocks 0/20/39, the final encoder tokens, and the
+    generator output — torch-free at test time. Regenerate with
+    scripts/make_parity_fixtures.py."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+    from make_parity_fixtures import TAPS, fixture_vit_cfg, run_jax
+
+    path = Path(__file__).parent / "fixtures/parity_flagship_geom.npz"
+    z = np.load(path)
+    meta = json.loads(str(z["meta"]))
+    assert meta["taps"] == list(TAPS)
+    cfg = fixture_vit_cfg()
+    assert cfg.num_prefix_tokens + cfg.num_patches == 329  # flagship S
+
+    enc_j, taps_j, out_j = run_jax(
+        [(k, tuple(s)) for k, s in meta["keys_shapes"]])
+    tol = meta["tol"]
+    for idx, i in enumerate(TAPS):
+        np.testing.assert_allclose(taps_j[idx], z[f"tap{i}"],
+                                   atol=tol["tap"], rtol=0)
+    np.testing.assert_allclose(enc_j, z["enc"], atol=tol["enc"], rtol=0)
+    np.testing.assert_allclose(out_j, z["out"], atol=tol["out"], rtol=0)
