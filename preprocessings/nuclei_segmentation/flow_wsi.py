@@ -79,7 +79,11 @@ def flow_segment_wsi(reader, flow_fn, compute_masks_fn,
             y1 = min(ty + tile_size + overlap, vh)
             n = np.maximum(count[y0:y1, x0:x1].astype(np.float32), 1.0)
             chunk_prob = prob[y0:y1, x0:x1].astype(np.float32) / n
-            if chunk_prob.sum() < min_cellprob_sum:  # reference :249
+            # gate on the foreground-pixel count, like the reference's
+            # np.sum(cellmask_chunk) < 10 (:230-231) — raw logit sums go
+            # hugely negative on mostly-background chunks and would skip
+            # chunks that do contain cells
+            if float((chunk_prob > 0).sum()) < min_cellprob_sum:
                 continue
             chunk_dp = dp[:, y0:y1, x0:x1].astype(np.float32) / n
             tile_labels = np.asarray(
