@@ -244,9 +244,15 @@ class Block(nn.Module):
                 nn.LayerNorm(epsilon=cfg.norm_eps, name="norm1", dtype=x.dtype)(x)
             ),
         )
+        mlp_cls = Mlp
+        if cfg.remat and cfg.remat_policy == "mlp_only":
+            # sub-block remat (VisionTransformer leaves the Block itself
+            # unremat'ed for this policy): attention residuals are saved,
+            # only the MLP branch recomputes in the backward
+            mlp_cls = nn.remat(Mlp, prevent_cse=False)
         x = x + scaled(
             "ls2",
-            Mlp(cfg, name="mlp")(
+            mlp_cls(cfg, name="mlp")(
                 nn.LayerNorm(epsilon=cfg.norm_eps, name="norm2", dtype=x.dtype)(x)
             ),
         )
@@ -323,6 +329,21 @@ class VisionTransformer(nn.Module):
                 block_cls = nn.remat(
                     Block, prevent_cse=False,
                     policy=jax.checkpoint_policies.dots_saveable)
+            elif cfg.remat_policy == "fc1":
+                # save only the packed swiglu fc1 dot output
+                # (ops/mlp.py::_swiglu_reference names it): ~2x less HBM
+                # than "dots" (8192 of its 14848 elems/token) while
+                # eliminating the single most expensive recompute; the
+                # backward still re-runs qkv + the flash forward
+                block_cls = nn.remat(
+                    Block, prevent_cse=False,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "fc1_out"))
+            elif cfg.remat_policy == "mlp_only":
+                # remat the MLP branch only: attention residuals (qkv dot,
+                # flash out + LSE) stay live, so the backward re-runs just
+                # fc1 (Block wires this internally — see Block.__call__)
+                pass
             else:
                 block_cls = nn.remat(Block, prevent_cse=False)
         if cfg.scan_blocks:

@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -128,6 +129,10 @@ def _swiglu_forward(x2d, w, b, hidden: int, interpret: bool, ln=None,
 
 def _swiglu_reference(x, w, b, hidden: int):
     x12 = x @ w.astype(x.dtype) + b[0].astype(x.dtype)
+    # named so remat_policy="fc1" (vit.py) can pin the packed dot output —
+    # the dominant recompute of the training backward (12.6 MFLOP/token of
+    # the block's ~28) — while everything else rematerializes
+    x12 = checkpoint_name(x12, "fc1_out")
     x1 = x12[..., :hidden]
     x2 = x12[..., hidden:]
     return jax.nn.silu(x1) * x2

@@ -199,3 +199,40 @@ def test_partitioned_step_matches_full_and_skips_frozen_moments(rng):
     assert all(("encoder" not in p) or ("lora" in p) for p in mu_paths), mu_paths
     n_frozen = len(traverse_util.flatten_dict(init_f))
     assert n_frozen > 0 and len(mu_paths) == len(flat_part) - n_frozen
+
+
+@pytest.mark.parametrize("policy", ["full", "dots", "fc1", "mlp_only"])
+def test_remat_policies_same_loss_and_grads(rng, policy):
+    """Every remat_policy is a pure memory/recompute trade: loss and
+    gradients must match the no-remat forward bit-for-bit-ish (f32 CPU).
+    fc1 pins the named packed swiglu dot (ops/mlp.py), mlp_only remats
+    only the MLP branch (vit.py Block)."""
+    base = dict(img_size=(32, 32), patch_size=4, embed_dim=32, depth=2,
+                num_heads=2, mlp_hidden_dim=64, mlp_type="swiglu",
+                reg_tokens=4, no_embed_class=True, attn_impl="xla",
+                lora_rank=2)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 32, 32, 3)), jnp.float32)
+
+    def loss_fn(model):
+        def f(params, stats):
+            out = model.apply({"params": params, "batch_stats": stats},
+                              x, train=False)
+            return jnp.mean((out - y) ** 2)
+        return f
+
+    ref_model = MipheiViT(vit_cfg=ViTConfig(remat=False, **base),
+                          out_chans=3)
+    variables = ref_model.init(jax.random.PRNGKey(0), x, train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn(ref_model))(params,
+                                                                 stats)
+
+    model = MipheiViT(
+        vit_cfg=ViTConfig(remat=True, remat_policy=policy, **base),
+        out_chans=3)
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn(model)))(params, stats)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5),
+        grads, ref_grads)
