@@ -544,11 +544,103 @@ def _bshd_kernel(q_ref, k_ref, v_ref, o_ref, *, head_dim: int,
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
+def _bshd_kernel_staged(q_ref, k_ref, v_ref, o_ref, *, head_dim: int,
+                        heads_per_block: int):
+    """Same math as ``_bshd_kernel``, emission reordered into three waves
+    (all qk dots -> all softmaxes -> all pv dots). The per-head chains are
+    independent either way; this probes whether Mosaic's scheduler keeps
+    the MXU busier when the dots are adjacent in emission order
+    (r4 sweep: scripts/profile_attn_r4.py)."""
+    scale = float(np.log2(np.e) / np.sqrt(head_dim))
+    sls = [slice(g * head_dim, (g + 1) * head_dim)
+           for g in range(heads_per_block)]
+    logits = [jax.lax.dot_general(
+        q_ref[0][:, sl], k_ref[0][:, sl], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale for sl in sls]
+    probs = []
+    for lg in logits:
+        m = jnp.max(lg, axis=-1, keepdims=True)
+        p = jnp.exp2(lg - m)
+        probs.append((p.astype(v_ref.dtype),
+                      jnp.sum(p, axis=-1, keepdims=True)))
+    outs = [jax.lax.dot_general(
+        p, v_ref[0][:, sl], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) / l
+        for (p, l), sl in zip(probs, sls)]
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _bshd_kernel_paired(q_ref, k_ref, v_ref, o_ref, *, head_dim: int,
+                        heads_per_block: int):
+    """Head-*pair* packing (VERDICT r3 #2): both matmuls of two heads fold
+    into single full-depth MXU contractions via block-diagonal operands.
+
+    qk: [S, 2D] x [2S, 2D]^T with K2 = [[k_g | 0], [0 | k_g1]] gives the
+    two heads' logits side by side in one K=128 contraction; pv:
+    [S, 2S] x [2S, 2D] with V2 = [[v_g | 0], [0 | v_g1]]. Issued FLOPs
+    double (the zero blocks compute nothing useful) while contraction
+    depth doubles — cycle-neutral on the systolic array in theory; this
+    variant measures whether fewer, larger dots pipeline better than the
+    d=64 pairs in practice."""
+    s = q_ref.shape[1]
+    scale = float(np.log2(np.e) / np.sqrt(head_dim))
+    dtype = v_ref.dtype
+    outs = []
+    for g in range(0, heads_per_block, 2):
+        sl2 = slice(g * head_dim, (g + 2) * head_dim)
+        q2 = q_ref[0][:, sl2]                        # [S, 2D]
+        k2 = k_ref[0][:, sl2]
+        v2 = v_ref[0][:, sl2]
+        zeros = jnp.zeros((s, head_dim), dtype)
+        k_bd = jnp.concatenate([
+            jnp.concatenate([k2[:, :head_dim], zeros], axis=1),
+            jnp.concatenate([zeros, k2[:, head_dim:]], axis=1)], axis=0)
+        logits = jax.lax.dot_general(
+            q2, k_bd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [S, 2S]
+        # per-head softmax over each S-column half
+        la, lb = logits[:, :s], logits[:, s:]
+        pa = jnp.exp2(la - jnp.max(la, axis=-1, keepdims=True))
+        pb = jnp.exp2(lb - jnp.max(lb, axis=-1, keepdims=True))
+        l_a = jnp.sum(pa, axis=-1, keepdims=True)
+        l_b = jnp.sum(pb, axis=-1, keepdims=True)
+        p2 = jnp.concatenate([pa, pb], axis=1).astype(dtype)  # [S, 2S]
+        v_bd = jnp.concatenate([
+            jnp.concatenate([v2[:, :head_dim], zeros], axis=1),
+            jnp.concatenate([zeros, v2[:, head_dim:]], axis=1)], axis=0)
+        acc = jax.lax.dot_general(
+            p2, v_bd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [S, 2D]
+        outs.append(jnp.concatenate(
+            [acc[:, :head_dim] / l_a, acc[:, head_dim:] / l_b], axis=1))
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+_BSHD_KERNELS = {
+    "interleaved": _bshd_kernel,
+    "staged": _bshd_kernel_staged,
+    "paired_bd": _bshd_kernel_paired,
+}
+
+
+def _bshd_variant() -> str:
+    """Kernel emission variant, env-switchable for the on-chip sweep
+    (MIPHEI_ATTN_VARIANT=interleaved|staged|paired_bd). Production default
+    is the measured r3 optimum; change only with numbers."""
+    import os
+
+    return os.environ.get("MIPHEI_ATTN_VARIANT", "interleaved")
+
+
 def _bshd_forward(q, k, v, num_heads: int, interpret: bool):
     b, s, hd = q.shape
     d = hd // num_heads
     hpb = _pick_heads_per_block(num_heads, s, d)
-    kernel = functools.partial(_bshd_kernel, head_dim=d, heads_per_block=hpb)
+    variant = _bshd_variant()
+    if variant == "paired_bd" and hpb % 2:
+        variant = "interleaved"
+    kernel = functools.partial(_BSHD_KERNELS[variant], head_dim=d,
+                               heads_per_block=hpb)
     return pl.pallas_call(
         kernel,
         grid=(b, num_heads // hpb),
@@ -622,7 +714,11 @@ def _qkv_forward(qkv, num_heads: int, interpret: bool):
     d = hd // num_heads
     hpb = _pick_heads_per_block(num_heads, s, d)
     nblk = num_heads // hpb
-    kernel = functools.partial(_bshd_kernel, head_dim=d, heads_per_block=hpb)
+    variant = _bshd_variant()
+    if variant == "paired_bd" and hpb % 2:
+        variant = "interleaved"
+    kernel = functools.partial(_BSHD_KERNELS[variant], head_dim=d,
+                               heads_per_block=hpb)
 
     def spec(section):
         return pl.BlockSpec(

@@ -186,3 +186,21 @@ def test_qkv_small_head_width_fallback(rng):
     ref = np.asarray(attention_bshd(
         jnp.array(q), jnp.array(k), jnp.array(v), h, impl="xla"))
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["staged", "paired_bd"])
+def test_bshd_kernel_variants_match_production(rng, variant, monkeypatch):
+    """The r4 sweep variants (staged emission order; block-diagonal
+    head-pair packing) are pure scheduling experiments — numerics must
+    equal the production interleaved kernel."""
+    from mipheivit_tpu.ops.attention import attention_qkv
+
+    monkeypatch.setenv("MIPHEI_ATTN_VARIANT", variant)
+    b, s, h, d = 2, 40, 4, 16
+    qkv = rng.standard_normal((b, s, 3 * h * d)).astype(np.float32)
+    got = np.asarray(attention_qkv(jnp.array(qkv), h,
+                                   impl="flash_interpret"))
+    monkeypatch.setenv("MIPHEI_ATTN_VARIANT", "interleaved")
+    want = np.asarray(attention_qkv(jnp.array(qkv), h,
+                                    impl="flash_interpret"))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
