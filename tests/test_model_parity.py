@@ -309,3 +309,32 @@ def test_flagship_geometry_golden_fixture():
                                    atol=tol["tap"], rtol=0)
     np.testing.assert_allclose(enc_j, z["enc"], atol=tol["enc"], rtol=0)
     np.testing.assert_allclose(out_j, z["out"], atol=tol["out"], rtol=0)
+
+
+def test_im2col_conv_matches_xla(rng):
+    """BasicConv3x3 impl="im2col" (9-tap patches + one full-depth matmul)
+    must match the plain 3x3 conv with the same params."""
+    from mipheivit_tpu.models.mipheivit import BasicConv3x3
+
+    for (h, w, c, k) in [(16, 16, 8, 4), (17, 9, 67, 32)]:
+        x = jnp.array(rng.standard_normal((2, h, w, c)).astype(np.float32))
+        ref_mod = BasicConv3x3(k, stride=1, impl="xla")
+        vs = ref_mod.init(jax.random.PRNGKey(0), x, train=False)
+        ref = np.asarray(ref_mod.apply(vs, x, train=False))
+        out = np.asarray(BasicConv3x3(k, stride=1, impl="im2col")
+                         .apply(vs, x, train=False))
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_conv3x3_env_override(rng, monkeypatch):
+    """MIPHEI_CONV3_IMPL steers 'auto' modules (profiling hook) without
+    touching explicitly configured ones."""
+    from mipheivit_tpu.models.mipheivit import BasicConv3x3
+
+    x = jnp.array(rng.standard_normal((1, 8, 8, 6)).astype(np.float32))
+    mod = BasicConv3x3(4, stride=1, impl="auto")
+    vs = mod.init(jax.random.PRNGKey(0), x, train=False)
+    ref = np.asarray(mod.apply(vs, x, train=False))
+    monkeypatch.setenv("MIPHEI_CONV3_IMPL", "im2col")
+    out = np.asarray(mod.apply(vs, x, train=False))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
