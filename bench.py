@@ -67,9 +67,11 @@ def build_flagship(dtype: str, img_size: int = 256, nc_out: int = 16,
     # encoder-weight convert (bit-identical — every use casts anyway)
     params = cast_params(params, dtype)
     if int8:
-        from mipheivit_tpu.infer.loading import quantize_encoder
+        from mipheivit_tpu.infer.loading import (quantize_decoder,
+                                                 quantize_encoder)
 
         model, params = quantize_encoder(model, params)
+        model, params = quantize_decoder(model, params)
     return model, params
 
 

@@ -122,6 +122,38 @@ def quantize_encoder(model, variables):
     return quant_model, {**variables, "params": params}
 
 
+def quantize_decoder(model, variables):
+    """Opt-in W8A8 for the decoder *fusion* convs (VERDICT r3 #8): each
+    FusionBlock's 3x3 kernel becomes per-output-channel int8 and the model
+    twin routes it through ``_Int8Im2ColConv`` (im2col + int8 matmul —
+    full contraction depth on the MXU's 2x path, halved patch traffic).
+    ConvStream (stride 2, 0.6 ms/B64) and the segmentation heads stay in
+    the compute dtype: the heads' sigmoid attention gates multiply the
+    feature map directly, so their quantization error lands unattenuated
+    on the output and their 3x3s are tiny (K=288) — not worth the parity
+    risk. Compose after ``quantize_encoder`` for the full serving mode."""
+    from ..ops.quant import quantize_weight
+
+    params = dict(variables["params"])
+    dec = dict(params["decoder"])
+    import numpy as _np
+
+    for name in list(dec):
+        if not name.startswith("fusion_blks_"):
+            continue
+        blk = dec[name]["conv"]["conv"]
+        w = _np.asarray(blk["kernel"], _np.float32)     # (3,3,C,K)
+        c, kk = w.shape[2], w.shape[3]
+        w_i8, scale = quantize_weight(w.reshape(9 * c, kk))
+        dec[name] = {**dec[name],
+                     "conv": {**dec[name]["conv"],
+                              "conv": {"kernel": w_i8.reshape(3, 3, c, kk),
+                                       "scale": scale}}}
+    params["decoder"] = dec
+    quant_model = model.clone(conv_impl="int8_im2col")
+    return quant_model, {**variables, "params": params}
+
+
 def cast_params(variables, dtype):
     """Cast the float leaves of the ``params`` collection to ``dtype``.
 

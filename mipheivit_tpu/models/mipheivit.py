@@ -98,6 +98,32 @@ class _Im2ColConv(nn.Module):
         return y.reshape(b, h, w, self.out_chans).astype(x.dtype)
 
 
+class _Int8Im2ColConv(nn.Module):
+    """W8A8 serving twin of ``_Im2ColConv``: int8 kernel (3,3,C,K) +
+    per-output-channel f32 scale, patches dynamically quantized per row —
+    the conv rides the MXU's 2x int8 path AND the 9x patch HBM traffic
+    halves. Produced by ``infer.loading.quantize_decoder``."""
+
+    out_chans: int
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.quant import int8_matmul
+
+        b, h, w, c = x.shape
+        kernel = self.param("kernel", nn.initializers.zeros,
+                            (3, 3, c, self.out_chans), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.out_chans,), jnp.float32)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        taps = [xp[:, dy:dy + h, dx:dx + w, :]
+                for dy in range(3) for dx in range(3)]
+        patches = jnp.concatenate(taps, axis=-1).reshape(b * h * w, 9 * c)
+        y = int8_matmul(patches, kernel.reshape(9 * c, self.out_chans),
+                        scale)
+        return y.reshape(b, h, w, self.out_chans).astype(x.dtype)
+
+
 class BasicConv3x3(nn.Module):
     """conv3x3(no bias) + BN + ReLU (reference: mipheivit.py:20-41).
 
@@ -130,10 +156,13 @@ class BasicConv3x3(nn.Module):
             and impl == "phase_packed"
         )
         use_i2c = self.stride == 1 and impl == "im2col"
+        use_i8 = self.stride == 1 and impl == "int8_im2col"
         if use_pp:
             x = _PhasePackedConv(self.out_chans, name="conv")(x)
         elif use_i2c:
             x = _Im2ColConv(self.out_chans, name="conv")(x)
+        elif use_i8:
+            x = _Int8Im2ColConv(self.out_chans, name="conv")(x)
         else:
             x = nn.Conv(
                 self.out_chans, (3, 3), strides=(self.stride, self.stride),
@@ -166,12 +195,14 @@ class FusionBlock(nn.Module):
     (reference: mipheivit.py:76-93; concat order [D, F_up])."""
 
     out_chans: int
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, detail, train: bool = False):
         up = upsample2x_bilinear_nhwc(x)
         out = jnp.concatenate([detail, up], axis=-1)
-        return BasicConv3x3(self.out_chans, stride=1, name="conv")(out, train)
+        return BasicConv3x3(self.out_chans, stride=1, impl=self.conv_impl,
+                            name="conv")(out, train)
 
 
 class AttentionGate(nn.Module):
@@ -385,6 +416,7 @@ class DetailCapture(nn.Module):
     use_attention: bool = True
     activation: str = "tanh"
     fast_heads: bool = False
+    conv_impl: str = "auto"   # fusion convs: "auto"|"xla"|"im2col"|int8 twin
 
     @nn.compact
     def __call__(self, features, images, train: bool = False):
@@ -392,7 +424,8 @@ class DetailCapture(nn.Module):
         x = features
         n = len(self.fusion_out)
         for i, ch in enumerate(self.fusion_out):
-            x = FusionBlock(ch, name=f"fusion_blks_{i}")(
+            x = FusionBlock(ch, conv_impl=self.conv_impl,
+                            name=f"fusion_blks_{i}")(
                 x, details[n - i - 1], train
             )
         if self.fast_heads:
@@ -439,12 +472,13 @@ class MipheiViT(nn.Module):
     vit_cfg: ViTConfig
     out_chans: int = 16
     fast_heads: bool = False
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = Encoder(self.vit_cfg, name="encoder")(x)
         out = DetailCapture(self.out_chans, fast_heads=self.fast_heads,
-                            name="decoder")(
+                            conv_impl=self.conv_impl, name="decoder")(
             feats, x.astype(feats.dtype), train
         )
         return out.astype(jnp.float32)

@@ -31,7 +31,8 @@ def main() -> None:
     parser.add_argument("--overlap", default=64, type=int)
     parser.add_argument("--int8", action="store_true",
                         help="opt-in W8A8 serving: quantize the ViT encoder"
-                             " matmuls to int8 (2x MXU rate; bf16 default)")
+                             " matmuls + decoder fusion convs to int8"
+                             " (2x MXU rate; bf16 default)")
     parser.add_argument("--seq_shard", action="store_true",
                         help="whole-region serving: shard the token axis "
                              "over all devices (use with a large "
@@ -78,9 +79,11 @@ def main() -> None:
             len(names), dtype=dtype,
             fast_heads=cfg.model.model_name.startswith("myvitmatte"))
         if args.int8:
-            from mipheivit_tpu.infer.loading import quantize_encoder
+            from mipheivit_tpu.infer.loading import (quantize_decoder,
+                                                     quantize_encoder)
 
             model, variables = quantize_encoder(model, variables)
+            model, variables = quantize_decoder(model, variables)
         he_norm = Normalizer(get_input_mean_std(
             cfg.model.model_name, cfg.select("model.encoder.encoder_name"),
             stats.rgb), mode="he")

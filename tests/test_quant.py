@@ -109,3 +109,40 @@ def test_int8_wsi_serving_path(rng, tmp_path):
     tf_.close(); tq.close()
     assert np.median(np.abs(a - b)) <= 1          # uint8 codec steps
     assert np.mean(np.abs(a - b) <= 10) > 0.99
+
+
+def test_quantize_decoder_transform_and_per_marker_pearson(rng):
+    """Full int8 serving mode (encoder + decoder fusion convs): the
+    transformed tree carries int8 fusion kernels, the heads stay float,
+    and every marker's output correlates with the bf16 forward at
+    Pearson >= 0.995 (VERDICT r3 #8 accuracy gate beyond the codec-step
+    bound)."""
+    from mipheivit_tpu.infer.loading import quantize_decoder, quantize_encoder
+
+    cfg = ViTConfig(img_size=(32, 32), patch_size=4, embed_dim=32, depth=2,
+                    num_heads=2, mlp_hidden_dim=64, reg_tokens=4,
+                    no_embed_class=True, attn_impl="xla", remat=False,
+                    lora_rank=0)
+    model = MipheiViT(vit_cfg=cfg, out_chans=4)
+    x = jnp.array(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    ref = np.asarray(model.apply(v, x, train=False))
+
+    qmodel, qv = quantize_encoder(model, v)
+    qmodel, qv = quantize_decoder(qmodel, qv)
+    for i in range(4):
+        blk = qv["params"]["decoder"][f"fusion_blks_{i}"]["conv"]["conv"]
+        assert blk["kernel"].dtype == np.int8
+        assert blk["scale"].dtype == np.float32
+    # heads + convstream stay float
+    heads = qv["params"]["decoder"]["segmentation_head_0"]["conv"]
+    assert heads["kernel"].dtype != np.int8
+    cs = qv["params"]["decoder"]["convstream"]["convs_0"]["conv"]
+    assert cs["kernel"].dtype != np.int8
+
+    out = np.asarray(qmodel.apply(qv, x, train=False))
+    assert out.shape == ref.shape
+    for m in range(out.shape[-1]):
+        corr = np.corrcoef(out[..., m].ravel(), ref[..., m].ravel())[0, 1]
+        assert corr > 0.995, (m, corr)
+    assert np.median(np.abs(out - ref)) < 0.02
