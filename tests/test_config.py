@@ -2,7 +2,10 @@
 
 import pytest
 
+
 from mipheivit_tpu.config import Config, compose, save_config, load_yaml
+
+pytestmark = pytest.mark.tier0
 
 
 def test_default_compose():

@@ -4,6 +4,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
+
 from mipheivit_tpu.data.augment import (
     ColorAugment,
     HedColorAugment,
@@ -20,6 +21,8 @@ from mipheivit_tpu.data.sampler import BalancedPositiveSampler
 from mipheivit_tpu.data.stats import Normalizer
 from mipheivit_tpu.ops.hed import hed2rgb, rgb2hed
 from mipheivit_tpu.slideio import build_ome_xml, write_pyramid
+
+pytestmark = pytest.mark.tier0
 
 
 @pytest.fixture(scope="module")

@@ -14,6 +14,7 @@ flow-averaging machinery exists to heal.
 import sys
 from pathlib import Path
 
+
 import numpy as np
 import pytest
 
@@ -21,6 +22,8 @@ sys.path.insert(0, str(Path(__file__).parent.parent
                        / "preprocessings/nuclei_segmentation"))
 
 from flow_dynamics import compute_masks, masks_to_flows  # noqa: E402
+
+pytestmark = pytest.mark.tier0
 
 
 def _disk_labels(h=256, w=256, seed=0, n=25, rmin=5, rmax=9):

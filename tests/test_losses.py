@@ -4,6 +4,9 @@ import numpy as np
 import torch
 import torch.nn.functional as F
 
+import pytest
+
+
 import jax.numpy as jnp
 
 from mipheivit_tpu.train import (
@@ -15,6 +18,8 @@ from mipheivit_tpu.train import (
     l1_l2_loss,
 )
 from mipheivit_tpu.train.losses import marker_weights_from_stds
+
+pytestmark = pytest.mark.tier0
 
 
 def _pair(rng, shape=(2, 8, 8, 5)):

@@ -11,12 +11,15 @@ slidevips-python/slidevips/read_pyramid.py:31-40) and drives it through
 import io
 import struct
 
+
 import numpy as np
 import pytest
 
 from mipheivit_tpu.slideio.ndpi import (
     NdpiSlide, is_ndpi_strip_jpeg, parse_tiff_ifds, _JpegStream)
 from mipheivit_tpu.slideio.reader import SlideReader
+
+pytestmark = pytest.mark.tier0
 
 
 def _restart_jpeg(img: np.ndarray, rows: int = 1) -> bytes:

@@ -9,12 +9,16 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+
 from mipheivit_tpu.ops import (
+
     resize_bicubic,
     resize_bilinear,
     resize_nearest,
     upsample2x_bilinear,
 )
+
+pytestmark = pytest.mark.tier0
 
 
 def _torch_resize(x_nchw, size, mode, antialias=False):

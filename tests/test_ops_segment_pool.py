@@ -3,7 +3,12 @@
 import numpy as np
 import jax.numpy as jnp
 
+import pytest
+
+
 from mipheivit_tpu.ops import nucleus_pool, segment_mean_pool
+
+pytestmark = pytest.mark.tier0
 
 
 def _numpy_means(values, labels):

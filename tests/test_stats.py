@@ -2,10 +2,12 @@
 
 import json
 
+
 import numpy as np
 import pytest
 
 from mipheivit_tpu.data import (
+
     HOPTIMUS_MEAN,
     HOPTIMUS_STD,
     IMAGENET_MEAN,
@@ -14,6 +16,8 @@ from mipheivit_tpu.data import (
     get_input_mean_std,
     load_channel_stats,
 )
+
+pytestmark = pytest.mark.tier0
 
 
 def test_if_roundtrip(rng):
