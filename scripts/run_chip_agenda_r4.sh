@@ -1,0 +1,25 @@
+#!/bin/bash
+# Round-4 on-chip measurement agenda (VERDICT r3 #1-4, #8).
+# Run SOLO on the tunneled chip; each step is timeout-bounded and logs to
+# logs/chip_r4/. Order: official bench rows first (the round artifact),
+# then the experiment sweeps. Tunnel discipline: one TPU client at a time.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p logs/chip_r4
+
+run() {
+  name=$1; shift
+  echo "=== $name: $* ==="
+  timeout 1800 "$@" > "logs/chip_r4/$name.log" 2>&1
+  echo "--- exit=$? tail:"
+  tail -5 "logs/chip_r4/$name.log"
+}
+
+run bench_bf16      python bench.py
+run bench_int8      python bench.py --int8
+run bench_wsi       python bench.py --wsi
+run train_remat     python scripts/profile_train_r3b.py \
+  '[("full",16),("dots",8),("fc1",16),("fc1",8),("mlp_only",16),("mlp_only",8)]'
+run attn_variants   python scripts/profile_attn_r4.py
+run dec_im2col      python scripts/profile_dec_r4.py
+echo "agenda done"
