@@ -115,6 +115,14 @@ def main(int8: bool = False):
     tiles_per_s = batch / per_batch
     short = {"bfloat16": "bf16", "float32": "f32"}.get(dtype, dtype)
     kind = "int8 W8A8 serving fwd" if int8 else f"{short} fwd"
+    if on_tpu:
+        # MFU vs the v5e bf16 peak is the honest primary efficiency metric
+        # while the A100 denominator stays an estimate (BASELINE.md):
+        # ~760 GFLOP/tile (ViT-g 740 + decoder ~20) against 197 TFLOP/s.
+        mfu = tiles_per_s * 760e9 / 197e12
+        print(f"[bench] MFU vs v5e bf16 peak: {100 * mfu:.1f}% "
+              f"({tiles_per_s:.1f} tiles/s x 760 GFLOP / 197 TFLOP/s)",
+              file=sys.stderr)
     if not on_tpu:
         kind += ", CPU smoke — not a chip measurement"
     print(json.dumps({

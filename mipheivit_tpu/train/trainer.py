@@ -288,6 +288,35 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
     history = []
     aug_rng = np.random.default_rng(cfg.train.seed)
 
+    # Graceful preemption (TPU VMs get SIGTERM with a grace window): the
+    # handler only sets a flag; the step loop snapshots the full train
+    # state at the next step boundary, writes status.txt=preempted, and
+    # exits cleanly so ``run.py --resume=<logdir>`` continues mid-run.
+    # New capability — the reference's only exit path uploads the best
+    # checkpoint and dies (src/callbacks.py:146-149).
+    import signal as _signal
+
+    preempt = {"sig": None}
+    _prev_handlers = {}
+
+    def _on_preempt(signum, frame):
+        preempt["sig"] = signum
+        log.warning("signal %d received — snapshotting at the next step "
+                    "boundary", signum)
+
+    try:
+        _prev_handlers[_signal.SIGTERM] = _signal.signal(
+            _signal.SIGTERM, _on_preempt)
+    except ValueError:
+        pass    # not the main thread (e.g. driven from a test harness)
+
+    def _restore_handlers():
+        for s, h in _prev_handlers.items():
+            try:
+                _signal.signal(s, h)
+            except ValueError:
+                pass
+
     def run_eval(split: str, epoch: int) -> Dict:
         nonlocal logreg_head
         metrics = PixelMetrics.zeros()
@@ -391,6 +420,8 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
         for i, batch in enumerate(device_prefetch(loader, mesh=mesh, size=2)):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
+            if preempt["sig"] is not None:
+                break
             b = {"image": batch["image"], "target": batch["target"]}
             if step_cfg.use_cell_loss:
                 b["nuclei"] = batch["nuclei"]
@@ -425,6 +456,16 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
                     he_norm.unormalize(np.asarray(batch["image"])),
                     pred, np.asarray(b["target"]))
         sync_and_check_nan()  # end-of-epoch NaN check + drain
+        if preempt["sig"] is not None:
+            save_train_state(state, str(logdir / "orbax"),
+                             step=int(state.step))
+            (logdir / "status.txt").write_text("preempted")
+            log.warning("preempted at step %d — resume with "
+                        "run.py --resume=%s", int(state.step), logdir)
+            logger.finish()
+            _restore_handlers()
+            return {"history": history, "best": best, "state": state,
+                    "preempted": True}
         epoch_metrics = {f"train_{k}": float(v)
                          for k, v in train_metrics.compute().items()}
         if slog_sums is not None:
@@ -453,4 +494,5 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
     history.append(test_metrics)
     (logdir / "status.txt").write_text("finished")  # reference: run.py:38-45
     logger.finish()
+    _restore_handlers()
     return {"history": history, "best": best, "state": state}

@@ -37,6 +37,28 @@ def hematoxylin_segment(rgb_tile: np.ndarray) -> np.ndarray:
     return classical_segment(h_channel)
 
 
+def load_hoverfast_polygons(path):
+    """HoverFast detection JSON(.gz): a list of GeoJSON-style features
+    whose ``geometry.coordinates[0]`` is the nucleus exterior ring
+    (reference: create_wsi_nuclei.py:148-155 reads exactly this from the
+    ``<slide>.json.gz`` HoverFast emits). Plain point-list JSON is also
+    accepted for hand-built fixtures."""
+    import gzip
+
+    if str(path).endswith(".gz"):
+        with gzip.open(path, "rt") as f:
+            data = json.loads(f.read())
+    else:
+        data = json.loads(Path(path).read_text())
+    polys = []
+    for item in data:
+        if isinstance(item, dict):
+            polys.append(item["geometry"]["coordinates"][0])
+        else:
+            polys.append(item)
+    return polys
+
+
 def rasterize_polygons(polygons, shape, expansion_px: float = 0.0) -> np.ndarray:
     """HoverFast polygon-JSON -> label raster (+ optional expansion)
     (reference: nuclei_he_wsi_hoverfast/create_wsi_nuclei.py role)."""
@@ -62,13 +84,13 @@ def main():
 
     reader = SlideReader(args.slide_path, mode="RGB")
     if args.polygons_json:
-        polys = json.loads(Path(args.polygons_json).read_text())
+        polys = load_hoverfast_polygons(args.polygons_json)
         w, h = reader.dimensions
         labels = rasterize_polygons(polys, (h, w), args.expansion_px)
     else:
         labels = segment_wsi(reader, hematoxylin_segment, args.tile_size,
-                             args.halo, dapi_channel=None,
-                             expansion_px=args.expansion_px)
+                             args.halo, dapi_channel=None)
+        labels = expand_labels(labels, args.expansion_px)
     boundaries = find_boundaries(labels)
     stack = np.stack([labels, boundaries]).astype(np.int32)
     xml = build_ome_xml(labels.shape[1], labels.shape[0],

@@ -21,5 +21,6 @@ run bench_wsi       python bench.py --wsi
 run train_remat     python scripts/profile_train_r3b.py \
   '[("full",16),("dots",8),("fc1",16),("fc1",8),("mlp_only",16),("mlp_only",8)]'
 run attn_variants   python scripts/profile_attn_r4.py
+run attn_batchpack  python scripts/profile_attn_r3b.py
 run dec_im2col      python scripts/profile_dec_r4.py
 echo "agenda done"

@@ -433,3 +433,78 @@ print("MAXRSS_MB", resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024)
     ts = TiffSlide(out_big)
     assert ts.dimensions == (4096, 8192) and ts.n_channels == c
     ts.close()
+
+
+def test_he_nuclei_hoverfast_polygons_e2e(wsi_pair, tmp_path, monkeypatch):
+    """he_nuclei_inference with a genuine HoverFast-schema detection file
+    (gzipped GeoJSON features, geometry.coordinates[0] = exterior ring —
+    reference create_wsi_nuclei.py:148-155): polygons rasterize + expand
+    into the 2-channel labels/boundaries OME-TIFF contract."""
+    import gzip
+
+    import he_nuclei_inference as hni
+
+    paths, _ = wsi_pair
+    # three nuclei as GeoJSON-style features (one square, one triangle,
+    # one pentagon), HoverFast .json.gz layout
+    feats = [
+        {"geometry": {"coordinates": [
+            [[60, 60], [90, 60], [90, 90], [60, 90]]]}},
+        {"geometry": {"coordinates": [
+            [[140, 70], [170, 70], [155, 100]]]}},
+        {"geometry": {"coordinates": [
+            [[90, 170], [110, 160], [125, 175], [115, 195], [95, 195]]]}},
+    ]
+    pjson = tmp_path / "slide.json.gz"
+    with gzip.open(pjson, "wt") as f:
+        f.write(json.dumps(feats))
+
+    out = tmp_path / "he_nuclei.ome.tiff"
+    monkeypatch.setattr(sys, "argv", [
+        "he_nuclei_inference.py", "--slide_path", paths["he"],
+        "--out_path", str(out), "--polygons_json", str(pjson),
+        "--expansion_px", "2.0"])
+    hni.main()
+    slide = TiffSlide(str(out))
+    arr = slide.read_region((0, 0), 0, slide.dimensions)
+    slide.close()
+    labels, boundaries = arr[..., 0].astype(np.int32), arr[..., 1]
+    assert labels.max() == 3
+    # interior points carry their polygon's id
+    assert labels[75, 75] == 1 and labels[80, 155] == 2
+    assert labels[178, 108] == 3
+    # expansion grew each instance beyond the raw polygon
+    assert (labels == 1).sum() > 30 * 30
+    assert boundaries.max() > 0
+
+
+def test_he_nuclei_classical_fallback_e2e(tmp_path, monkeypatch):
+    """No polygons: the HED-hematoxylin watershed fallback segments
+    nucleus-like dark-blue blobs on pale tissue and writes the contract."""
+    import he_nuclei_inference as hni
+
+    h = w = 192
+    he = np.full((3, h, w), 235, np.uint8)     # pale eosin background
+    yy, xx = np.mgrid[:h, :w]
+    centers = [(48, 48), (48, 144), (144, 48), (144, 144), (96, 96)]
+    for cy, cx in centers:
+        blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= 81
+        he[0][blob] = 60                       # hematoxylin: dark blue
+        he[1][blob] = 50
+        he[2][blob] = 130
+    slide_path = tmp_path / "he_blobs.tiff"
+    write_pyramid(str(slide_path), he, n_levels=2, tile_size=64, mpp=0.5)
+
+    out = tmp_path / "he_nuclei_cls.ome.tiff"
+    monkeypatch.setattr(sys, "argv", [
+        "he_nuclei_inference.py", "--slide_path", str(slide_path),
+        "--out_path", str(out), "--tile_size", "128", "--halo", "32"])
+    hni.main()
+    slide = TiffSlide(str(out))
+    arr = slide.read_region((0, 0), 0, slide.dimensions)
+    slide.close()
+    assert arr.shape[-1] == 2
+    labels = arr[..., 0].astype(np.int32)
+    assert labels.max() >= len(centers) - 1    # blobs found as instances
+    for cy, cx in centers:
+        assert labels[cy, cx] > 0

@@ -215,6 +215,69 @@ def test_train_seq_sharded_rejects_bad_shard_count(synthetic_run):
                            dtype="float32", use_wandb=False)
 
 
+def test_preemption_snapshot_and_resume(synthetic_run, monkeypatch):
+    """Graceful preemption: SIGTERM mid-epoch -> orbax snapshot +
+    status.txt=preempted + clean return; run.py --resume semantics then
+    finish the run (TPU-VM preemption story; the reference can only die)."""
+    import os
+    import signal
+
+    import mipheivit_tpu.train.trainer as trainer_mod
+    from mipheivit_tpu.models import MipheiViT, ViTConfig
+    from mipheivit_tpu.train.trainer import train_patchgan
+
+    cfg, tmp_path = synthetic_run
+    cfg.train.epochs = 2
+    cfg.train.gan_train = False
+    cfg.train.use_cell_metrics = False
+    cfg.train.callbacks.modelcheckpoint.monitor = "val_gen_loss_sim"
+    cfg.train.callbacks.modelcheckpoint.mode = "min"
+
+    tiny = ViTConfig(img_size=(32, 32), patch_size=4, embed_dim=32, depth=2,
+                     num_heads=2, mlp_hidden_dim=64, reg_tokens=4,
+                     attn_impl="xla", remat=False, lora_rank=4)
+    monkeypatch.setattr(
+        trainer_mod, "get_generator",
+        lambda name, w, ci, co, cfg, dtype="float32":
+        MipheiViT(vit_cfg=tiny, out_chans=co))
+
+    # deterministic "preemption": deliver SIGTERM to ourselves after the
+    # second training batch of the first epoch
+    orig_prefetch = trainer_mod.device_prefetch
+
+    def prefetch_and_kill(loader, **kw):
+        # the fixture's train epoch is 2 batches (8 rows / batch 4,
+        # drop_last): fire after the first so the break happens mid-epoch
+        for j, b in enumerate(orig_prefetch(loader, **kw)):
+            if j == 1:
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield b
+
+    logdir = tmp_path / "preempt_run"
+    trainer_mod.device_prefetch = prefetch_and_kill
+    try:
+        result = train_patchgan(cfg, str(logdir), dtype="float32",
+                                use_wandb=False)
+    finally:
+        trainer_mod.device_prefetch = orig_prefetch
+    assert result.get("preempted") is True
+    assert (logdir / "status.txt").read_text() == "preempted"
+    from mipheivit_tpu.train.checkpoints import latest_checkpoint
+
+    ckpt = latest_checkpoint(str(logdir / "orbax"))
+    assert ckpt is not None
+    # the loop-top preempt check breaks before the batch that followed
+    # the signal, so exactly one step completed
+    step_at_preempt = int(result["state"].step)
+    assert step_at_preempt >= 1
+
+    result2 = train_patchgan(cfg, str(logdir), dtype="float32",
+                             use_wandb=False, resume=True)
+    assert (logdir / "status.txt").read_text() == "finished"
+    assert int(result2["state"].step) > step_at_preempt
+    assert np.isfinite(result2["history"][-1]["test_psnr"])
+
+
 def test_nan_guard_forensics(synthetic_run, monkeypatch):
     """First-NaN forensics: the device-side accumulator names the exact
     offending step even though scalars are only fetched every ``log_every``
