@@ -20,6 +20,12 @@ def correct_split(df: pd.DataFrame, b_dir: Path, dry_run: bool = False):
         dst = b_dir / (Path(row["image_path"]).stem + ".tiff")
         if src == dst or not src.exists():
             continue
+        if dst.exists():
+            # two rows mapping onto one stem would silently destroy a
+            # target tile — refuse instead of losing ground truth
+            raise FileExistsError(
+                f"refusing to rename {src} -> {dst}: destination exists "
+                "(image-stem collision in the dataframe?)")
         if not dry_run:
             os.rename(src, dst)
         n += 1

@@ -138,13 +138,18 @@ def quantize_decoder(model, variables):
     dec = dict(params["decoder"])
     import numpy as _np
 
+    from ..models.mipheivit import flatten_conv3x3_kernel
+
     for name in list(dec):
         if not name.startswith("fusion_blks_"):
             continue
         blk = dec[name]["conv"]["conv"]
         w = _np.asarray(blk["kernel"], _np.float32)     # (3,3,C,K)
         c, kk = w.shape[2], w.shape[3]
-        w_i8, scale = quantize_weight(w.reshape(9 * c, kk))
+        # quantize in the matmul layout _Int8Im2ColConv will flatten to,
+        # so per-channel scales line up with the im2col contraction
+        w_i8, scale = quantize_weight(
+            _np.asarray(flatten_conv3x3_kernel(w)))
         dec[name] = {**dec[name],
                      "conv": {**dec[name]["conv"],
                               "conv": {"kernel": w_i8.reshape(3, 3, c, kk),

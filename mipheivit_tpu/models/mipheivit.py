@@ -74,6 +74,26 @@ def _conv3x3_env_impl() -> str:
     return os.environ.get("MIPHEI_CONV3_IMPL", "")
 
 
+def _im2col_patches(x):
+    """9-tap im2col rows for a 3x3/stride-1 conv: [B*H*W, 9C], tap-major
+    (dy, dx) row-major then channel — the SAME flattening order as
+    ``flatten_conv3x3_kernel``. Both im2col conv modules and
+    ``infer.loading.quantize_decoder`` depend on this single contract."""
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    taps = [xp[:, dy:dy + h, dx:dx + w, :]
+            for dy in range(3) for dx in range(3)]
+    return jnp.concatenate(taps, axis=-1).reshape(b * h * w, 9 * c)
+
+
+def flatten_conv3x3_kernel(kernel):
+    """(3, 3, C, K) conv kernel -> [9C, K] matmul weight matching
+    ``_im2col_patches``'s (dy, dx, c) row order (plain row-major
+    reshape)."""
+    kh, kw, c, k = kernel.shape
+    return kernel.reshape(kh * kw * c, k)
+
+
 class _Im2ColConv(nn.Module):
     """3x3/stride-1 conv as 9-tap im2col + ONE [BHW, 9C] x [9C, K] matmul
     (VERDICT r3 #4): the small-channel fusion convs run at ~22% MXU under
@@ -87,13 +107,9 @@ class _Im2ColConv(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         kernel = self.param("kernel", conv_init, (3, 3, c, self.out_chans))
-        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        taps = [xp[:, dy:dy + h, dx:dx + w, :]
-                for dy in range(3) for dx in range(3)]
-        patches = jnp.concatenate(taps, axis=-1)          # [B,H,W,9C]
-        wmat = kernel.reshape(9 * c, self.out_chans).astype(x.dtype)
+        wmat = flatten_conv3x3_kernel(kernel).astype(x.dtype)
         y = jax.lax.dot_general(
-            patches.reshape(b * h * w, 9 * c), wmat,
+            _im2col_patches(x), wmat,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         return y.reshape(b, h, w, self.out_chans).astype(x.dtype)
 
@@ -115,12 +131,8 @@ class _Int8Im2ColConv(nn.Module):
                             (3, 3, c, self.out_chans), jnp.int8)
         scale = self.param("scale", nn.initializers.ones,
                            (self.out_chans,), jnp.float32)
-        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        taps = [xp[:, dy:dy + h, dx:dx + w, :]
-                for dy in range(3) for dx in range(3)]
-        patches = jnp.concatenate(taps, axis=-1).reshape(b * h * w, 9 * c)
-        y = int8_matmul(patches, kernel.reshape(9 * c, self.out_chans),
-                        scale)
+        y = int8_matmul(_im2col_patches(x),
+                        flatten_conv3x3_kernel(kernel), scale)
         return y.reshape(b, h, w, self.out_chans).astype(x.dtype)
 
 

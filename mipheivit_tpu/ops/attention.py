@@ -623,23 +623,28 @@ _BSHD_KERNELS = {
 }
 
 
-def _bshd_variant() -> str:
+def _resolve_bshd_kernel(hpb: int):
     """Kernel emission variant, env-switchable for the on-chip sweep
     (MIPHEI_ATTN_VARIANT=interleaved|staged|paired_bd). Production default
-    is the measured r3 optimum; change only with numbers."""
+    is the measured r3 optimum; change only with numbers. paired_bd needs
+    an even head group and falls back to production otherwise."""
     import os
 
-    return os.environ.get("MIPHEI_ATTN_VARIANT", "interleaved")
+    variant = os.environ.get("MIPHEI_ATTN_VARIANT", "interleaved")
+    if variant not in _BSHD_KERNELS:
+        raise ValueError(
+            f"MIPHEI_ATTN_VARIANT={variant!r} unknown; options: "
+            f"{sorted(_BSHD_KERNELS)}")
+    if variant == "paired_bd" and hpb % 2:
+        variant = "interleaved"
+    return _BSHD_KERNELS[variant]
 
 
 def _bshd_forward(q, k, v, num_heads: int, interpret: bool):
     b, s, hd = q.shape
     d = hd // num_heads
     hpb = _pick_heads_per_block(num_heads, s, d)
-    variant = _bshd_variant()
-    if variant == "paired_bd" and hpb % 2:
-        variant = "interleaved"
-    kernel = functools.partial(_BSHD_KERNELS[variant], head_dim=d,
+    kernel = functools.partial(_resolve_bshd_kernel(hpb), head_dim=d,
                                heads_per_block=hpb)
     return pl.pallas_call(
         kernel,
@@ -714,10 +719,7 @@ def _qkv_forward(qkv, num_heads: int, interpret: bool):
     d = hd // num_heads
     hpb = _pick_heads_per_block(num_heads, s, d)
     nblk = num_heads // hpb
-    variant = _bshd_variant()
-    if variant == "paired_bd" and hpb % 2:
-        variant = "interleaved"
-    kernel = functools.partial(_BSHD_KERNELS[variant], head_dim=d,
+    kernel = functools.partial(_resolve_bshd_kernel(hpb), head_dim=d,
                                heads_per_block=hpb)
 
     def spec(section):

@@ -317,182 +317,185 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
             except ValueError:
                 pass
 
-    def run_eval(split: str, epoch: int) -> Dict:
-        nonlocal logreg_head
-        metrics = PixelMetrics.zeros()
-        losses = []
-        loader = dm.loader(split, epoch=epoch)
-        loader.pad_to_batch = True   # fixed shapes: one compilation, mesh-safe
-        for batch in device_prefetch(loader, mesh=mesh, size=2):
-            b = {"image": batch["image"], "target": batch["target"],
-                 "mask": batch["mask"]}
-            metrics, elog = eval_step(state, b, metrics)
-            losses.append(float(elog["gen_loss_sim"]))
-            if use_cell_metrics and "nuclei" in batch:
-                n_valid = int(np.asarray(batch["mask"]).sum())
-                cell_metrics.update(elog["pred"][:n_valid],
-                                    batch["nuclei"][:n_valid],
-                                    batch["slide_name"][:n_valid])
-        out = {f"{split}_{k}": float(v) for k, v in metrics.compute().items()}
-        out[f"{split}_gen_loss_sim"] = float(np.mean(losses)) if losses else np.nan
-        if use_cell_metrics:
-            head = logreg_head if split == "test" else None
-            cm = cell_metrics.compute(logreg_head=head)
-            if split == "val":
-                logreg_head = cm["logreg_head"]
-            for key in ("auc", "auc_logreg", "balanced_acc", "f1"):
-                out[f"{split}_cell_{key}"] = float(cm[key])
-            for marker_col in cell_metrics.marker_cols:
+    # the handler must not outlive this run, including on exceptions
+    try:
+
+        def run_eval(split: str, epoch: int) -> Dict:
+            nonlocal logreg_head
+            metrics = PixelMetrics.zeros()
+            losses = []
+            loader = dm.loader(split, epoch=epoch)
+            loader.pad_to_batch = True   # fixed shapes: one compilation, mesh-safe
+            for batch in device_prefetch(loader, mesh=mesh, size=2):
+                b = {"image": batch["image"], "target": batch["target"],
+                     "mask": batch["mask"]}
+                metrics, elog = eval_step(state, b, metrics)
+                losses.append(float(elog["gen_loss_sim"]))
+                if use_cell_metrics and "nuclei" in batch:
+                    n_valid = int(np.asarray(batch["mask"]).sum())
+                    cell_metrics.update(elog["pred"][:n_valid],
+                                        batch["nuclei"][:n_valid],
+                                        batch["slide_name"][:n_valid])
+            out = {f"{split}_{k}": float(v) for k, v in metrics.compute().items()}
+            out[f"{split}_gen_loss_sim"] = float(np.mean(losses)) if losses else np.nan
+            if use_cell_metrics:
+                head = logreg_head if split == "test" else None
+                cm = cell_metrics.compute(logreg_head=head)
+                if split == "val":
+                    logreg_head = cm["logreg_head"]
                 for key in ("auc", "auc_logreg", "balanced_acc", "f1"):
-                    mk = f"{marker_col}_{key}"
-                    if mk in cm:
-                        out[f"{split}_cell_{key}_{marker_col}"] = float(cm[mk])
-        return out
+                    out[f"{split}_cell_{key}"] = float(cm[key])
+                for marker_col in cell_metrics.marker_cols:
+                    for key in ("auc", "auc_logreg", "balanced_acc", "f1"):
+                        mk = f"{marker_col}_{key}"
+                        if mk in cm:
+                            out[f"{split}_cell_{key}_{marker_col}"] = float(cm[mk])
+            return out
 
-    def export_checkpoint(tag: str):
-        params = jax.tree.map(np.asarray, state.gen_params)
-        stats = jax.tree.map(np.asarray, state.gen_batch_stats)
-        if cfg.model.model_name.startswith("myvitmatte"):
-            # reference-format export (HF-compatible key layout)
-            sd = mipheivit_state_dict(params, stats, model.vit_cfg, nc_out)
-        else:
-            # every generator exports a checkpoint (reference
-            # src/callbacks.py:121-149 saves each generator's state dict);
-            # non-MIPHEI models use the flattened flax layout
-            sd = flax_state_dict(params, stats)
-        save_safetensors(sd, str(logdir / f"{tag}.safetensors"))
-        save_train_state(state, str(logdir / "orbax"), step=int(state.step))
-
-    global_step = int(state.step)
-    for epoch in range(start_epoch, cfg.train.epochs):
-        if cfg.data.augmentation_dir and not from_slide:
-            dm.frames["train"] = swap_augmentation_replicas(
-                train_df, cfg.data.augmentation_dir, 0.25, aug_rng)
-            dm.setup()
-        train_metrics = PixelMetrics.zeros()
-        if mesh is not None:
-            train_metrics = jax.device_put(train_metrics, replicated(mesh))
-        loader = dm.loader("train", epoch=epoch)
-        if jax.process_count() > 1:
-            # multi-host: each host walks a disjoint shard of the epoch
-            # (SURVEY.md §5: per-host tile sharding is the DCN-side analog
-            # of the reference's DataLoader sharding)
-            loader.shard(jax.process_index(), jax.process_count())
-        # Device-side loss/NaN accumulation: the hot loop must dispatch
-        # ahead of the device, so no per-step float()/bool() host syncs
-        # (each would block until the step finishes and defeat
-        # device_prefetch's double-buffer). Scalars are summed on device
-        # with tiny async ops and fetched once every ``log_every`` steps;
-        # the NaN guard piggybacks on the same fetch (reference checks
-        # every step — src/models.py:102-105 — but is sync-bound by it).
-        log_every = 50
-        slog_sums: Optional[Dict] = None
-        slog_last: Optional[Dict] = None
-        nan_any = None
-        nan_step = None   # device-side min step index with a NaN output
-        _NO_NAN = np.int32(np.iinfo(np.int32).max)
-        slog_count = 0
-
-        def sync_and_check_nan():
-            """One blocking fetch: latest scalars + OR of all NaN flags
-            since the last check. Returns the latest host-side scalars.
-
-            The first-NaN step index is tracked on device (a min over
-            per-step ``where(nan, step, INT_MAX)``) so the forensic export
-            names the offending step exactly even though the fetch only
-            happens every ``log_every`` steps — same forensics as the
-            reference's per-step check (src/models.py:102-105) without its
-            per-step host sync."""
-            nonlocal nan_any
-            if slog_last is None:
-                return {}
-            fetched = jax.device_get(
-                {"last": slog_last, "nan": nan_any, "nan_step": nan_step})
-            if bool(fetched["nan"]):
-                first = int(fetched["nan_step"])
-                export_checkpoint("weights_nan")
-                (logdir / "weights_nan.step").write_text(f"{first}\n")
-                raise ValueError(
-                    f"Nan found (first at step {first})"
-                )  # reference: models.py:105
-            return {k: float(v) for k, v in fetched["last"].items()}
-
-        for i, batch in enumerate(device_prefetch(loader, mesh=mesh, size=2)):
-            if max_steps_per_epoch and i >= max_steps_per_epoch:
-                break
-            if preempt["sig"] is not None:
-                break
-            b = {"image": batch["image"], "target": batch["target"]}
-            if step_cfg.use_cell_loss:
-                b["nuclei"] = batch["nuclei"]
-            if profile_steps and global_step == 2:
-                jax.profiler.start_trace(str(logdir / "profile"))
-            state, train_metrics, slog = train_step(state, b, train_metrics)
-            global_step += 1
-            if profile_steps and global_step == 2 + profile_steps:
-                jax.block_until_ready(slog["gen_loss"])
-                jax.profiler.stop_trace()
-                log.info("profiler trace -> %s", logdir / "profile")
-            nan_flag = slog["nan"]
-            scalars = {k: v for k, v in slog.items() if k != "nan"}
-            slog_last = scalars
-            slog_count += 1
-            step_if_nan = jnp.where(nan_flag, jnp.int32(global_step), _NO_NAN)
-            if slog_sums is None:
-                slog_sums = scalars
-                nan_any = nan_flag
-                nan_step = step_if_nan
+        def export_checkpoint(tag: str):
+            params = jax.tree.map(np.asarray, state.gen_params)
+            stats = jax.tree.map(np.asarray, state.gen_batch_stats)
+            if cfg.model.model_name.startswith("myvitmatte"):
+                # reference-format export (HF-compatible key layout)
+                sd = mipheivit_state_dict(params, stats, model.vit_cfg, nc_out)
             else:
-                slog_sums = jax.tree.map(jnp.add, slog_sums, scalars)
-                nan_any = jnp.logical_or(nan_any, nan_flag)
-                nan_step = jnp.minimum(nan_step, step_if_nan)
-            if global_step % log_every == 0:
-                logger.log(sync_and_check_nan(), step=global_step)
-            if global_step % 1000 == 1:
-                pred = np.asarray(
-                    eval_step(state, b, PixelMetrics.zeros())[1]["pred"])
-                save_image_grid(
-                    str(logdir / "logs_img" / f"step{global_step}.png"),
-                    he_norm.unormalize(np.asarray(batch["image"])),
-                    pred, np.asarray(b["target"]))
-        sync_and_check_nan()  # end-of-epoch NaN check + drain
-        if preempt["sig"] is not None:
-            save_train_state(state, str(logdir / "orbax"),
-                             step=int(state.step))
-            (logdir / "status.txt").write_text("preempted")
-            log.warning("preempted at step %d — resume with "
-                        "run.py --resume=%s", int(state.step), logdir)
-            logger.finish()
-            _restore_handlers()
-            return {"history": history, "best": best, "state": state,
-                    "preempted": True}
-        epoch_metrics = {f"train_{k}": float(v)
-                         for k, v in train_metrics.compute().items()}
-        if slog_sums is not None:
-            sums = jax.device_get(slog_sums)
-            epoch_metrics.update(
-                {k: float(v) / slog_count for k, v in sums.items()})
-        epoch_metrics.update(loader.stats.snapshot())
-        epoch_metrics.update(run_eval("val", epoch))
-        epoch_metrics["epoch"] = epoch
-        logger.log(epoch_metrics, step=global_step)
-        history.append(epoch_metrics)
-        log.info("epoch %d: %s", epoch,
-                 {k: round(v, 4) for k, v in epoch_metrics.items()
-                  if isinstance(v, float)})
+                # every generator exports a checkpoint (reference
+                # src/callbacks.py:121-149 saves each generator's state dict);
+                # non-MIPHEI models use the flattened flax layout
+                sd = flax_state_dict(params, stats)
+            save_safetensors(sd, str(logdir / f"{tag}.safetensors"))
+            save_train_state(state, str(logdir / "orbax"), step=int(state.step))
 
-        score = epoch_metrics.get(monitor)
-        if score is not None and (
-                (mode == "max" and score > best) or
-                (mode == "min" and score < best)):
-            best = score
-            export_checkpoint("model")
-            log.info("new best %s=%.4f -> checkpoint saved", monitor, best)
+        global_step = int(state.step)
+        for epoch in range(start_epoch, cfg.train.epochs):
+            if cfg.data.augmentation_dir and not from_slide:
+                dm.frames["train"] = swap_augmentation_replicas(
+                    train_df, cfg.data.augmentation_dir, 0.25, aug_rng)
+                dm.setup()
+            train_metrics = PixelMetrics.zeros()
+            if mesh is not None:
+                train_metrics = jax.device_put(train_metrics, replicated(mesh))
+            loader = dm.loader("train", epoch=epoch)
+            if jax.process_count() > 1:
+                # multi-host: each host walks a disjoint shard of the epoch
+                # (SURVEY.md §5: per-host tile sharding is the DCN-side analog
+                # of the reference's DataLoader sharding)
+                loader.shard(jax.process_index(), jax.process_count())
+            # Device-side loss/NaN accumulation: the hot loop must dispatch
+            # ahead of the device, so no per-step float()/bool() host syncs
+            # (each would block until the step finishes and defeat
+            # device_prefetch's double-buffer). Scalars are summed on device
+            # with tiny async ops and fetched once every ``log_every`` steps;
+            # the NaN guard piggybacks on the same fetch (reference checks
+            # every step — src/models.py:102-105 — but is sync-bound by it).
+            log_every = 50
+            slog_sums: Optional[Dict] = None
+            slog_last: Optional[Dict] = None
+            nan_any = None
+            nan_step = None   # device-side min step index with a NaN output
+            _NO_NAN = np.int32(np.iinfo(np.int32).max)
+            slog_count = 0
 
-    test_metrics = run_eval("test", cfg.train.epochs)
-    logger.log(test_metrics, step=global_step)
-    history.append(test_metrics)
-    (logdir / "status.txt").write_text("finished")  # reference: run.py:38-45
-    logger.finish()
-    _restore_handlers()
-    return {"history": history, "best": best, "state": state}
+            def sync_and_check_nan():
+                """One blocking fetch: latest scalars + OR of all NaN flags
+                since the last check. Returns the latest host-side scalars.
+
+                The first-NaN step index is tracked on device (a min over
+                per-step ``where(nan, step, INT_MAX)``) so the forensic export
+                names the offending step exactly even though the fetch only
+                happens every ``log_every`` steps — same forensics as the
+                reference's per-step check (src/models.py:102-105) without its
+                per-step host sync."""
+                nonlocal nan_any
+                if slog_last is None:
+                    return {}
+                fetched = jax.device_get(
+                    {"last": slog_last, "nan": nan_any, "nan_step": nan_step})
+                if bool(fetched["nan"]):
+                    first = int(fetched["nan_step"])
+                    export_checkpoint("weights_nan")
+                    (logdir / "weights_nan.step").write_text(f"{first}\n")
+                    raise ValueError(
+                        f"Nan found (first at step {first})"
+                    )  # reference: models.py:105
+                return {k: float(v) for k, v in fetched["last"].items()}
+
+            for i, batch in enumerate(device_prefetch(loader, mesh=mesh, size=2)):
+                if max_steps_per_epoch and i >= max_steps_per_epoch:
+                    break
+                if preempt["sig"] is not None:
+                    break
+                b = {"image": batch["image"], "target": batch["target"]}
+                if step_cfg.use_cell_loss:
+                    b["nuclei"] = batch["nuclei"]
+                if profile_steps and global_step == 2:
+                    jax.profiler.start_trace(str(logdir / "profile"))
+                state, train_metrics, slog = train_step(state, b, train_metrics)
+                global_step += 1
+                if profile_steps and global_step == 2 + profile_steps:
+                    jax.block_until_ready(slog["gen_loss"])
+                    jax.profiler.stop_trace()
+                    log.info("profiler trace -> %s", logdir / "profile")
+                nan_flag = slog["nan"]
+                scalars = {k: v for k, v in slog.items() if k != "nan"}
+                slog_last = scalars
+                slog_count += 1
+                step_if_nan = jnp.where(nan_flag, jnp.int32(global_step), _NO_NAN)
+                if slog_sums is None:
+                    slog_sums = scalars
+                    nan_any = nan_flag
+                    nan_step = step_if_nan
+                else:
+                    slog_sums = jax.tree.map(jnp.add, slog_sums, scalars)
+                    nan_any = jnp.logical_or(nan_any, nan_flag)
+                    nan_step = jnp.minimum(nan_step, step_if_nan)
+                if global_step % log_every == 0:
+                    logger.log(sync_and_check_nan(), step=global_step)
+                if global_step % 1000 == 1:
+                    pred = np.asarray(
+                        eval_step(state, b, PixelMetrics.zeros())[1]["pred"])
+                    save_image_grid(
+                        str(logdir / "logs_img" / f"step{global_step}.png"),
+                        he_norm.unormalize(np.asarray(batch["image"])),
+                        pred, np.asarray(b["target"]))
+            sync_and_check_nan()  # end-of-epoch NaN check + drain
+            if preempt["sig"] is not None:
+                save_train_state(state, str(logdir / "orbax"),
+                                 step=int(state.step))
+                (logdir / "status.txt").write_text("preempted")
+                log.warning("preempted at step %d — resume with "
+                            "run.py --resume=%s", int(state.step), logdir)
+                logger.finish()
+                return {"history": history, "best": best, "state": state,
+                        "preempted": True}
+            epoch_metrics = {f"train_{k}": float(v)
+                             for k, v in train_metrics.compute().items()}
+            if slog_sums is not None:
+                sums = jax.device_get(slog_sums)
+                epoch_metrics.update(
+                    {k: float(v) / slog_count for k, v in sums.items()})
+            epoch_metrics.update(loader.stats.snapshot())
+            epoch_metrics.update(run_eval("val", epoch))
+            epoch_metrics["epoch"] = epoch
+            logger.log(epoch_metrics, step=global_step)
+            history.append(epoch_metrics)
+            log.info("epoch %d: %s", epoch,
+                     {k: round(v, 4) for k, v in epoch_metrics.items()
+                      if isinstance(v, float)})
+
+            score = epoch_metrics.get(monitor)
+            if score is not None and (
+                    (mode == "max" and score > best) or
+                    (mode == "min" and score < best)):
+                best = score
+                export_checkpoint("model")
+                log.info("new best %s=%.4f -> checkpoint saved", monitor, best)
+
+        test_metrics = run_eval("test", cfg.train.epochs)
+        logger.log(test_metrics, step=global_step)
+        history.append(test_metrics)
+        (logdir / "status.txt").write_text("finished")  # reference: run.py:38-45
+        logger.finish()
+        return {"history": history, "best": best, "state": state}
+    finally:
+        _restore_handlers()

@@ -7,10 +7,15 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p logs/chip_r4
 
+# the agenda only runs when the chip is known reachable: fail fast on a
+# probe miss instead of burning bench.py's default 20-min retry budget
+# inside the step timeout
+export BENCH_TPU_RETRY_S=120
+
 run() {
   name=$1; shift
   echo "=== $name: $* ==="
-  timeout 1800 "$@" > "logs/chip_r4/$name.log" 2>&1
+  timeout 2400 "$@" > "logs/chip_r4/$name.log" 2>&1
   echo "--- exit=$? tail:"
   tail -5 "logs/chip_r4/$name.log"
 }
