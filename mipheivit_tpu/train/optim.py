@@ -112,6 +112,7 @@ def build_generator_optimizer(
     vit_lr_decay: bool = False,
     num_layers: int = 40,
     warmup_iters: int = 400,
+    grad_accum_steps: int = 1,
 ) -> optax.GradientTransformation:
     chain = [optax.clip_by_global_norm(1.0)]
     if vit_lr_decay:
@@ -124,17 +125,35 @@ def build_generator_optimizer(
         optax.scale(-lr),
         masked_updates(model_name),
     ]
-    return optax.chain(*chain)
+    return _maybe_accumulate(optax.chain(*chain), grad_accum_steps)
 
 
 def build_discriminator_optimizer(lr: float, total_iters: int,
-                                  warmup_iters: int = 400):
-    return optax.chain(
+                                  warmup_iters: int = 400,
+                                  grad_accum_steps: int = 1):
+    return _maybe_accumulate(optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.scale_by_adam(b1=0.5, b2=0.999, eps=1e-7),
         optax.scale_by_schedule(pix2pix_schedule(1.0, total_iters, warmup_iters)),
         optax.scale(-lr),
-    )
+    ), grad_accum_steps)
+
+
+def _maybe_accumulate(opt: optax.GradientTransformation,
+                      grad_accum_steps: int):
+    """Gradient accumulation (``train.grad_accum_steps``): k microbatches'
+    mean grads feed one inner-optimizer step, so the reference's
+    effective batch (configs/config.yaml:17-23, batch 16) fits on chips
+    where only a smaller per-step batch compiles under the chosen remat
+    policy. Mean-of-microbatch-mean grads equals the full-batch grad for
+    equal microbatches; BatchNorm stats and the discriminator's
+    power-iteration/label-noise draws still advance per microbatch
+    (documented deviation — the reference has no accumulation at all).
+    The accumulator allocates one grad-sized buffer for the *trainable*
+    partition only (the frozen encoder is outside the optimizer)."""
+    if grad_accum_steps <= 1:
+        return opt
+    return optax.MultiSteps(opt, every_k_schedule=int(grad_accum_steps))
 
 
 def partition_params(params, model_name: str):

@@ -167,15 +167,24 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
     steps_per_epoch = len(train_df) // cfg.train.batch_size
     if max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
-    total_iters = max(steps_per_epoch * cfg.train.epochs, 1)
+    accum = max(int(cfg.select("train.grad_accum_steps", 1) or 1), 1)
+    # schedules count *optimizer* steps: with accumulation, k microbatch
+    # steps advance the pix2pix schedule once
+    total_iters = max(steps_per_epoch * cfg.train.epochs // accum, 1)
 
-    lr_g = scaled_lr(cfg.train.learning_rate_g, cfg.train.batch_size)
-    lr_d = scaled_lr(cfg.train.learning_rate_d, cfg.train.batch_size)
+    # sqrt-batch LR scaling uses the effective batch (reference
+    # src/train.py:163-164 semantics at the optimizer-step granularity)
+    lr_g = scaled_lr(cfg.train.learning_rate_g,
+                     cfg.train.batch_size * accum)
+    lr_d = scaled_lr(cfg.train.learning_rate_d,
+                     cfg.train.batch_size * accum)
     vit_lr_decay = cfg.model.model_name.startswith("unet") and \
         "lora" not in cfg.model.model_name and "frozen" not in cfg.model.model_name
     gen_opt = build_generator_optimizer(
-        cfg.model.model_name, lr_g, total_iters, vit_lr_decay=vit_lr_decay)
-    disc_opt = build_discriminator_optimizer(lr_d, total_iters) if gan_train else None
+        cfg.model.model_name, lr_g, total_iters, vit_lr_decay=vit_lr_decay,
+        grad_accum_steps=accum)
+    disc_opt = build_discriminator_optimizer(
+        lr_d, total_iters, grad_accum_steps=accum) if gan_train else None
 
     cell_metrics = None
     if use_cell_metrics:
@@ -256,6 +265,16 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
             log.info("resumed from %s at step %d (epoch %d)",
                      ckpt, int(state.step), start_epoch)
 
+    # NOTE on buffer donation (measured dead end, r4): donating the carried
+    # state (donate_argnums=(0, 2)) would spare XLA keeping input+output
+    # state alive across the step boundary, but the freshly-initialized
+    # state tree contains *aliased* leaves (JAX deduplicates identical
+    # zero-init constants, e.g. Adam moments of equal shapes), and XLA
+    # rejects donating one buffer twice ("Attempt to donate the same
+    # buffer twice in Execute()"). Revisit only with an explicit
+    # de-aliasing copy of the initial state AND of every fresh metrics
+    # accumulator — and with an on-chip HBM number showing the 2x-state
+    # peak actually binds.
     train_step = jax.jit(make_train_step(
         model, loss_reconstruct, gen_opt, disc, disc_opt, step_cfg,
         cell_loss_fn=cell_loss_fn))

@@ -236,3 +236,35 @@ def test_remat_policies_same_loss_and_grads(rng, policy):
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5),
         grads, ref_grads)
+
+
+def test_grad_accumulation_matches_mean_grad():
+    """grad_accum_steps=k: the k-th microbatch triggers exactly the update
+    the inner optimizer would produce for the mean of the k grads; the
+    first k-1 updates are zero (optax.MultiSteps semantics through
+    build_discriminator_optimizer)."""
+    import optax
+
+    from mipheivit_tpu.train.optim import build_discriminator_optimizer
+
+    params = {"w": jnp.ones((4, 3)), "b": jnp.zeros(3)}
+    g1 = jax.tree.map(lambda x: jnp.full_like(x, 0.3), params)
+    g2 = jax.tree.map(lambda x: jnp.full_like(x, -0.1), params)
+    g_mean = jax.tree.map(lambda a, b: (a + b) / 2.0, g1, g2)
+
+    plain = build_discriminator_optimizer(1e-3, 100)
+    s0 = plain.init(params)
+    want, _ = plain.update(g_mean, s0, params)
+
+    acc = build_discriminator_optimizer(1e-3, 100, grad_accum_steps=2)
+    s = acc.init(params)
+    u1, s = acc.update(g1, s, params)
+    assert all(float(jnp.abs(v).max()) == 0.0
+               for v in jax.tree.leaves(u1))       # no update mid-window
+    u2, s = acc.update(g2, s, params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-7), u2, want)
+    # window resets: next microbatch is again a zero update
+    u3, s = acc.update(g1, s, params)
+    assert all(float(jnp.abs(v).max()) == 0.0
+               for v in jax.tree.leaves(u3))

@@ -215,6 +215,38 @@ def test_train_seq_sharded_rejects_bad_shard_count(synthetic_run):
                            dtype="float32", use_wandb=False)
 
 
+def test_train_with_grad_accumulation(synthetic_run, monkeypatch):
+    """train.grad_accum_steps=2 through the full trainer: the run finishes
+    with finite metrics and an exported checkpoint (microbatch-2 x accum-2
+    == effective batch 4 of the plain config)."""
+    import mipheivit_tpu.train.trainer as trainer_mod
+    from mipheivit_tpu.models import MipheiViT, ViTConfig
+    from mipheivit_tpu.train.trainer import train_patchgan
+
+    cfg, tmp_path = synthetic_run
+    cfg.train.epochs = 1
+    cfg.train.batch_size = 2
+    cfg.train.grad_accum_steps = 2
+    cfg.train.use_cell_metrics = False
+    cfg.train.callbacks.modelcheckpoint.monitor = "val_gen_loss_sim"
+    cfg.train.callbacks.modelcheckpoint.mode = "min"
+
+    tiny = ViTConfig(img_size=(32, 32), patch_size=4, embed_dim=32, depth=2,
+                     num_heads=2, mlp_hidden_dim=64, reg_tokens=4,
+                     attn_impl="xla", remat=False, lora_rank=4)
+    monkeypatch.setattr(
+        trainer_mod, "get_generator",
+        lambda name, w, ci, co, cfg, dtype="float32":
+        MipheiViT(vit_cfg=tiny, out_chans=co))
+
+    logdir = tmp_path / "accum_run"
+    result = train_patchgan(cfg, str(logdir), dtype="float32",
+                            use_wandb=False)
+    assert (logdir / "status.txt").read_text() == "finished"
+    assert np.isfinite(result["history"][-1]["test_psnr"])
+    assert (logdir / "model.safetensors").exists()
+
+
 def test_preemption_snapshot_and_resume(synthetic_run, monkeypatch):
     """Graceful preemption: SIGTERM mid-epoch -> orbax snapshot +
     status.txt=preempted + clean return; run.py --resume semantics then
