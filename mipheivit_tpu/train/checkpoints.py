@@ -149,7 +149,37 @@ def save_safetensors(state_dict: Dict[str, np.ndarray], path: str) -> None:
 # orbax full-state snapshots
 
 
+def fetch_local(tree):
+    """np copy of every leaf via its locally-addressable replica.
+
+    ``np.asarray`` raises on multi-host global arrays (they are not fully
+    addressable from one process); for the *replicated* state this trainer
+    keeps, each host's first addressable shard IS the full value. A leaf
+    whose local shard does not cover the global shape (genuinely sharded)
+    raises instead of silently exporting one shard."""
+    import jax
+
+    def get(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            local = x.addressable_data(0)
+            if local.shape != x.shape:
+                raise ValueError(
+                    f"fetch_local: leaf is sharded across hosts "
+                    f"(local {local.shape} != global {x.shape}); gather it "
+                    "before export")
+            return np.asarray(local)
+        return np.asarray(x)
+
+    return jax.tree.map(get, tree)
+
+
 def save_train_state(state, ckpt_dir: str, step: Optional[int] = None) -> str:
+    """Orbax full-state snapshot. MUST be called from EVERY process on a
+    multi-host runtime: orbax synchronizes processes internally (a
+    main-only call deadlocks the caller at the barrier), and it wants the
+    live global jax.Arrays so it can write per-process shards itself. On
+    a single process the tree is np-ified first (cheap, avoids holding
+    device buffers during the write)."""
     import jax
     import orbax.checkpoint as ocp
 
@@ -157,8 +187,9 @@ def save_train_state(state, ckpt_dir: str, step: Optional[int] = None) -> str:
     path.mkdir(parents=True, exist_ok=True)
     step = int(state.step) if step is None else step
     target = path / f"state_{step}"
+    tree = state if jax.process_count() > 1 else fetch_local(state)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(target, jax.tree.map(np.asarray, state), force=True)
+        ckptr.save(target, tree, force=True)
     return str(target)
 
 

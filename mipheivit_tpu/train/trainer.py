@@ -39,6 +39,7 @@ from ..parallel import make_data_mesh, replicated
 from ..utils import MetricsLogger, save_image_grid
 from .cell_loss import build_cell_loss
 from .checkpoints import (
+    fetch_local,
     flax_state_dict,
     mipheivit_state_dict,
     save_safetensors,
@@ -55,6 +56,17 @@ from .steps import (
 )
 
 log = logging.getLogger(__name__)
+
+
+class _NullLogger:
+    """Non-main hosts: metrics are identical across hosts (replicated
+    state), so only process 0 writes them."""
+
+    def log(self, *a, **k):
+        pass
+
+    def finish(self):
+        pass
 
 
 def get_width_height(dataframe) -> tuple:
@@ -260,7 +272,7 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
 
         ckpt = latest_checkpoint(str(logdir / "orbax"))
         if ckpt:
-            state = restore_train_state(ckpt, jax.tree.map(np.asarray, state))
+            state = restore_train_state(ckpt, fetch_local(state))
             start_epoch = int(state.step) // max(steps_per_epoch, 1)
             log.info("resumed from %s at step %d (epoch %d)",
                      ckpt, int(state.step), start_epoch)
@@ -295,10 +307,16 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
 
-    save_config(cfg, logdir / "config.yaml")
+    # multi-host: the state is replicated, so every host holds the same
+    # values — exactly one process writes config/checkpoints/status/
+    # images/metrics (shared-filesystem safety)
+    is_main = jax.process_index() == 0
+    if is_main:
+        save_config(cfg, logdir / "config.yaml")
     logger = MetricsLogger(str(logdir), project=cfg.train.wandb_project,
                            run_name=logdir.name, config=cfg.to_dict(),
-                           use_wandb=use_wandb)
+                           use_wandb=use_wandb and is_main) \
+        if is_main else _NullLogger()
 
     monitor = cfg.train.callbacks.modelcheckpoint.monitor
     mode = cfg.train.callbacks.modelcheckpoint.mode
@@ -372,8 +390,13 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
             return out
 
         def export_checkpoint(tag: str):
-            params = jax.tree.map(np.asarray, state.gen_params)
-            stats = jax.tree.map(np.asarray, state.gen_batch_stats)
+            # orbax participates on every process (it barriers internally);
+            # the plain-file safetensors export is main-only
+            save_train_state(state, str(logdir / "orbax"), step=int(state.step))
+            if not is_main:
+                return
+            params = fetch_local(state.gen_params)
+            stats = fetch_local(state.gen_batch_stats)
             if cfg.model.model_name.startswith("myvitmatte"):
                 # reference-format export (HF-compatible key layout)
                 sd = mipheivit_state_dict(params, stats, model.vit_cfg, nc_out)
@@ -383,7 +406,6 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
                 # non-MIPHEI models use the flattened flax layout
                 sd = flax_state_dict(params, stats)
             save_safetensors(sd, str(logdir / f"{tag}.safetensors"))
-            save_train_state(state, str(logdir / "orbax"), step=int(state.step))
 
         global_step = int(state.step)
         for epoch in range(start_epoch, cfg.train.epochs):
@@ -433,7 +455,8 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
                 if bool(fetched["nan"]):
                     first = int(fetched["nan_step"])
                     export_checkpoint("weights_nan")
-                    (logdir / "weights_nan.step").write_text(f"{first}\n")
+                    if is_main:
+                        (logdir / "weights_nan.step").write_text(f"{first}\n")
                     raise ValueError(
                         f"Nan found (first at step {first})"
                     )  # reference: models.py:105
@@ -473,7 +496,8 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
                 if global_step % 1000 == 1:
                     pred = np.asarray(
                         eval_step(state, b, PixelMetrics.zeros())[1]["pred"])
-                    save_image_grid(
+                    if is_main:
+                        save_image_grid(
                         str(logdir / "logs_img" / f"step{global_step}.png"),
                         he_norm.unormalize(np.asarray(batch["image"])),
                         pred, np.asarray(b["target"]))
@@ -513,7 +537,8 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
         test_metrics = run_eval("test", cfg.train.epochs)
         logger.log(test_metrics, step=global_step)
         history.append(test_metrics)
-        (logdir / "status.txt").write_text("finished")  # reference: run.py:38-45
+        if is_main:
+            (logdir / "status.txt").write_text("finished")  # reference: run.py:38-45
         logger.finish()
         return {"history": history, "best": best, "state": state}
     finally:

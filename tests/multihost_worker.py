@@ -74,7 +74,22 @@ def main():
         if nsteps == 2:
             break
 
-    w = np.asarray(params["w"].addressable_data(0))
+    # checkpoint-export path on multi-host state: fetch_local must read
+    # the full replicated value on EVERY host (plain np.asarray raises on
+    # non-fully-addressable global arrays); the orbax snapshot is saved
+    # from EVERY process (orbax barriers internally — a main-only call
+    # deadlocks), then restored against the host template.
+    from mipheivit_tpu.train.checkpoints import (
+        fetch_local, restore_train_state, save_train_state)
+
+    host_params = fetch_local(params)
+    ckpt = save_train_state(params,
+                            os.path.join(os.path.dirname(out_path),
+                                         "mh_orbax"), step=nsteps)
+    back = restore_train_state(ckpt, host_params)
+    np.testing.assert_array_equal(back["w"], host_params["w"])
+
+    w = np.asarray(host_params["w"])
     with open(out_path, "w") as f:
         json.dump({"pid": pid, "seen": seen, "nsteps": nsteps,
                    "w": w.ravel().tolist()}, f)
