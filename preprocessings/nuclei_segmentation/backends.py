@@ -36,8 +36,13 @@ def classical_segment(dapi: np.ndarray, thresh_rel: float = 0.0,
     if n <= 1:
         n, markers = cv2.connectedComponents((binary > 0).astype(np.uint8))
         return markers.astype(np.int32)
-    markers = markers + 1          # background 1, unknown 0
-    markers[binary == 0] = 1
+    # cv2.watershed marker contract: known background = 1, seeds = 2..,
+    # UNKNOWN (to be flooded) = 0. Non-seed foreground pixels must stay 0
+    # — marking them 1 (a previous bug) made the whole blob interior
+    # "known background" and every instance collapsed to its seed pixel.
+    markers = markers + 1          # seeds 2..n+1, everything else 1
+    markers[local_max == 0] = 0    # unknown...
+    markers[binary == 0] = 1       # ...except true background
     color = cv2.cvtColor(u8, cv2.COLOR_GRAY2BGR)
     ws = cv2.watershed(color, markers.astype(np.int32))
     labels = np.where(ws > 1, ws - 1, 0).astype(np.int32)

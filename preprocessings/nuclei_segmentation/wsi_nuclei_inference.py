@@ -188,7 +188,11 @@ def main():
     parser.add_argument("--flow_averaging", action="store_true",
                         help="CellPose flow-field overlap averaging "
                              "(reference cellpose_wsi_inference.py:161-249)"
-                             " — requires the cellpose backend")
+                             " — cellpose backend when installed, else the "
+                             "first-party dynamics over the classical "
+                             "segmenter (flow_dynamics.py): per-tile masks "
+                             "-> diffusion flows, seam-healed by the "
+                             "averaged fields")
     args = parser.parse_args()
 
     reader = SlideReader(args.slide_path, mode="IF")
@@ -196,7 +200,20 @@ def main():
     if args.flow_averaging:
         from flow_wsi import cellpose_flow_factory, flow_segment_wsi
 
-        flow_fn, masks_fn = cellpose_flow_factory()
+        try:
+            flow_fn, masks_fn = cellpose_flow_factory()
+        except ImportError:
+            # network-free flow averaging: classical per-tile masks are
+            # converted to CellPose-definition diffusion flows, averaged
+            # over tile overlaps, and re-segmented by flow following — a
+            # nucleus cut by a tile edge gets one coherent flow field,
+            # unlike disjoint-tile watershed + ownership merge alone
+            from flow_dynamics import reference_dynamics_factory
+
+            print("cellpose not installed — flow averaging over the "
+                  "classical segmenter (flow_dynamics.py)")
+            flow_fn, masks_fn = reference_dynamics_factory(
+                get_backend("classical"))
         labels = flow_segment_wsi(
             reader, flow_fn, masks_fn, tile_size=args.tile_size,
             overlap=args.halo, dapi_channel=args.dapi_channel,

@@ -508,3 +508,44 @@ def test_he_nuclei_classical_fallback_e2e(tmp_path, monkeypatch):
     assert labels.max() >= len(centers) - 1    # blobs found as instances
     for cy, cx in centers:
         assert labels[cy, cx] > 0
+
+
+def test_dapi_flow_averaging_without_cellpose(tmp_path, monkeypatch):
+    """--flow_averaging falls back to the first-party dynamics when
+    cellpose is absent: classical per-tile masks -> diffusion flows,
+    seam-healed by overlap averaging, re-segmented by flow following.
+    Blobs straddling the tile boundary must come out as one instance."""
+    import wsi_nuclei_inference as wni
+
+    h = w = 192
+    dapi = np.zeros((1, h, w), np.uint8)
+    yy, xx = np.mgrid[:h, :w]
+    centers = [(40, 40), (96, 96), (150, 40), (96, 128), (40, 150)]
+    for cy, cx in centers:
+        dapi[0][(yy - cy) ** 2 + (xx - cx) ** 2 <= 64] = 220
+    slide = tmp_path / "dapi.tiff"
+    write_pyramid(str(slide), dapi, n_levels=2, tile_size=64, mpp=0.325)
+
+    out = tmp_path / "nuclei.ome.tiff"
+    monkeypatch.setattr(sys, "argv", [
+        "wsi_nuclei_inference.py", "--slide_path", str(slide),
+        "--out_path", str(out), "--tile_size", "96", "--halo", "32",
+        "--flow_averaging", "--target_mpp", "0"])
+    wni.main()
+    res = TiffSlide(str(out))
+    arr = res.read_region((0, 0), 0, res.dimensions)
+    res.close()
+    labels = arr[..., 0].astype(np.int32)
+    assert labels.max() == len(centers)
+    # the (96,96) blob straddles tile seams: flow averaging must yield ONE
+    # coherent instance there (not per-tile fragments). The recovered core
+    # is smaller than the full disk — the per-tile classical masks see
+    # slivers at seams and their derived flows average incoherently near
+    # the border (the same artifact a network's cut-nucleus flows have,
+    # to a lesser degree) — but no second id may appear inside the blob.
+    mid = labels[96, 96]
+    assert mid > 0 and (labels == mid).sum() > 25
+    yy2, xx2 = np.mgrid[:labels.shape[0], :labels.shape[1]]
+    blob = (yy2 - 96) ** 2 + (xx2 - 96) ** 2 <= 64
+    ids = set(np.unique(labels[blob])) - {0}
+    assert ids == {mid}
