@@ -176,7 +176,13 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
         disc = DiscriminatorPatch(norm_layer_type=None,
                                   selected_channels=selected)
 
-    steps_per_epoch = len(train_df) // cfg.train.batch_size
+    # multi-host: each host loads batch_size samples and device_prefetch
+    # assembles a batch_size * n_proc global batch, so every step consumes
+    # bs * n_proc samples — the schedule, sqrt-batch LR, and resume-epoch
+    # math all count in those units
+    n_proc = jax.process_count()
+    global_bs = cfg.train.batch_size * n_proc
+    steps_per_epoch = len(train_df) // global_bs
     if max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
     accum = max(int(cfg.select("train.grad_accum_steps", 1) or 1), 1)
@@ -186,10 +192,8 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
 
     # sqrt-batch LR scaling uses the effective batch (reference
     # src/train.py:163-164 semantics at the optimizer-step granularity)
-    lr_g = scaled_lr(cfg.train.learning_rate_g,
-                     cfg.train.batch_size * accum)
-    lr_d = scaled_lr(cfg.train.learning_rate_d,
-                     cfg.train.batch_size * accum)
+    lr_g = scaled_lr(cfg.train.learning_rate_g, global_bs * accum)
+    lr_d = scaled_lr(cfg.train.learning_rate_d, global_bs * accum)
     vit_lr_decay = cfg.model.model_name.startswith("unet") and \
         "lora" not in cfg.model.model_name and "frozen" not in cfg.model.model_name
     gen_opt = build_generator_optimizer(
@@ -315,7 +319,7 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
         save_config(cfg, logdir / "config.yaml")
     logger = MetricsLogger(str(logdir), project=cfg.train.wandb_project,
                            run_name=logdir.name, config=cfg.to_dict(),
-                           use_wandb=use_wandb and is_main) \
+                           use_wandb=use_wandb) \
         if is_main else _NullLogger()
 
     monitor = cfg.train.callbacks.modelcheckpoint.monitor
@@ -353,6 +357,21 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
                 _signal.signal(s, h)
             except ValueError:
                 pass
+
+    def preempt_agreed() -> bool:
+        """Hosts must leave the step loop TOGETHER: a host-local break
+        would deadlock the others' collectives against orbax's save
+        barrier. The flag is allgathered at synchronized points only
+        (log_every boundaries + epoch end), so preemption response
+        latency is bounded by log_every steps — well inside typical
+        TPU-VM grace windows."""
+        local = preempt["sig"] is not None
+        if n_proc == 1:
+            return local
+        from jax.experimental import multihost_utils
+
+        return bool(multihost_utils.process_allgather(
+            np.array([local])).any())
 
     # the handler must not outlive this run, including on exceptions
     try:
@@ -417,11 +436,16 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
             if mesh is not None:
                 train_metrics = jax.device_put(train_metrics, replicated(mesh))
             loader = dm.loader("train", epoch=epoch)
-            if jax.process_count() > 1:
+            host_cap = None
+            if n_proc > 1:
                 # multi-host: each host walks a disjoint shard of the epoch
                 # (SURVEY.md §5: per-host tile sharding is the DCN-side analog
                 # of the reference's DataLoader sharding)
-                loader.shard(jax.process_index(), jax.process_count())
+                loader.shard(jax.process_index(), n_proc)
+                # SPMD: hosts must dispatch identical step counts per
+                # epoch; shards can differ by one sample, so truncate all
+                # hosts to the smallest shard's batch count
+                host_cap = (len(train_df) // n_proc) // cfg.train.batch_size
             # Device-side loss/NaN accumulation: the hot loop must dispatch
             # ahead of the device, so no per-step float()/bool() host syncs
             # (each would block until the step finishes and defeat
@@ -465,7 +489,9 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
             for i, batch in enumerate(device_prefetch(loader, mesh=mesh, size=2)):
                 if max_steps_per_epoch and i >= max_steps_per_epoch:
                     break
-                if preempt["sig"] is not None:
+                if host_cap is not None and i >= host_cap:
+                    break
+                if n_proc == 1 and preempt["sig"] is not None:
                     break
                 b = {"image": batch["image"], "target": batch["target"]}
                 if step_cfg.use_cell_loss:
@@ -493,19 +519,24 @@ def train_patchgan(cfg: Config, logdir: str, dtype: Optional[str] = None,
                     nan_step = jnp.minimum(nan_step, step_if_nan)
                 if global_step % log_every == 0:
                     logger.log(sync_and_check_nan(), step=global_step)
-                if global_step % 1000 == 1:
+                    if n_proc > 1 and preempt_agreed():
+                        break
+                if global_step % 1000 == 1 and n_proc == 1:
+                    # debug image dump: single-host only (the eval output
+                    # is sharded across hosts; np.asarray cannot fetch
+                    # non-addressable shards)
                     pred = np.asarray(
                         eval_step(state, b, PixelMetrics.zeros())[1]["pred"])
-                    if is_main:
-                        save_image_grid(
+                    save_image_grid(
                         str(logdir / "logs_img" / f"step{global_step}.png"),
                         he_norm.unormalize(np.asarray(batch["image"])),
                         pred, np.asarray(b["target"]))
             sync_and_check_nan()  # end-of-epoch NaN check + drain
-            if preempt["sig"] is not None:
+            if preempt_agreed():
                 save_train_state(state, str(logdir / "orbax"),
                                  step=int(state.step))
-                (logdir / "status.txt").write_text("preempted")
+                if is_main:
+                    (logdir / "status.txt").write_text("preempted")
                 log.warning("preempted at step %d — resume with "
                             "run.py --resume=%s", int(state.step), logdir)
                 logger.finish()

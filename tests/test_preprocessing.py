@@ -526,6 +526,14 @@ def test_dapi_flow_averaging_without_cellpose(tmp_path, monkeypatch):
     slide = tmp_path / "dapi.tiff"
     write_pyramid(str(slide), dapi, n_levels=2, tile_size=64, mpp=0.325)
 
+    # force the network-free branch even where cellpose IS installed
+    import flow_wsi
+
+    def _no_cellpose(*a, **k):
+        raise ImportError("forced: cellpose absent")
+
+    monkeypatch.setattr(flow_wsi, "cellpose_flow_factory", _no_cellpose)
+
     out = tmp_path / "nuclei.ome.tiff"
     monkeypatch.setattr(sys, "argv", [
         "wsi_nuclei_inference.py", "--slide_path", str(slide),
