@@ -146,3 +146,28 @@ def test_quantize_decoder_transform_and_per_marker_pearson(rng):
         corr = np.corrcoef(out[..., m].ravel(), ref[..., m].ravel())[0, 1]
         assert corr > 0.995, (m, corr)
     assert np.median(np.abs(out - ref)) < 0.02
+
+
+def test_int8_with_seq_shard_serving(rng):
+    """Combined serving modes: W8A8 quantization + sequence-sharded
+    attention on a dp2 x sp4 mesh tracks the float seq-shard forward."""
+    from mipheivit_tpu.infer.loading import quantize_decoder, quantize_encoder
+    from mipheivit_tpu.parallel import make_mesh
+    from mipheivit_tpu.parallel.seq import seq_shard_scope
+
+    base = dict(img_size=(32, 32), patch_size=4, embed_dim=32, depth=2,
+                num_heads=2, mlp_hidden_dim=64, reg_tokens=0,
+                class_token=False, no_embed_class=True, remat=False,
+                lora_rank=0)
+    mesh = make_mesh(n_data=2, n_model=4)
+    model = MipheiViT(vit_cfg=ViTConfig(attn_impl="seq_shard", **base),
+                      out_chans=2)
+    x = jnp.array(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    with seq_shard_scope(mesh):
+        v = model.init(jax.random.PRNGKey(0), x, train=False)
+        ref = np.asarray(model.apply(v, x, train=False))
+        qmodel, qv = quantize_decoder(*quantize_encoder(model, v))
+        assert qmodel.vit_cfg.attn_impl == "seq_shard"
+        out = np.asarray(jax.jit(
+            lambda v, x: qmodel.apply(v, x, train=False))(qv, x))
+    assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > 0.99
