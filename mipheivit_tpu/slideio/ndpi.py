@@ -69,7 +69,12 @@ def parse_tiff_ifds(path: str) -> List[Dict[int, object]]:
             raise IOError(f"{path}: bad TIFF magic {magic}")
 
         ifds = []
+        seen_offsets = set()
         while next_off:
+            if next_off in seen_offsets or len(seen_offsets) > 4096:
+                raise IOError(
+                    f"{path}: cyclic or runaway IFD chain (malformed TIFF)")
+            seen_offsets.add(next_off)
             f.seek(next_off)
             if big:
                 n = struct.unpack(endian + "Q", f.read(8))[0]

@@ -238,3 +238,28 @@ def test_ndpi_padded_reads_and_reader(ndpi_fixture):
     out2 = reader.read_region((w - 16, h - 16), 0, (32, 32))
     assert (out2[16:] == 0).all() and (out2[:, 16:] == 0).all()
     reader.close()
+
+
+def test_parse_tiff_ifds_rejects_cyclic_chain(tmp_path):
+    """A malformed TIFF whose IFD next-pointer cycles must raise a clear
+    IOError instead of looping forever."""
+    # classic TIFF header -> IFD at 8 with 0 entries and next_off -> itself
+    buf = struct.pack("<2sHI", b"II", 42, 8) + struct.pack("<HI", 0, 8)
+    path = tmp_path / "cycle.tiff"
+    path.write_bytes(buf)
+    with pytest.raises(IOError, match="cyclic|runaway"):
+        parse_tiff_ifds(str(path))
+
+
+def test_parse_tiff_ifds_fuzz_no_hang(tmp_path, rng):
+    """Random garbage after a valid TIFF magic: parsing must terminate
+    (any exception is fine, hangs and segfaults are not)."""
+    for i in range(25):
+        blob = b"II*\x00" + rng.integers(0, 256, 256, dtype=np.uint8) \
+            .tobytes()
+        path = tmp_path / f"fuzz{i}.tiff"
+        path.write_bytes(blob)
+        try:
+            parse_tiff_ifds(str(path))
+        except Exception:
+            pass
