@@ -173,13 +173,20 @@ def fetch_local(tree):
     return jax.tree.map(get, tree)
 
 
-def save_train_state(state, ckpt_dir: str, step: Optional[int] = None) -> str:
+def save_train_state(state, ckpt_dir: str, step: Optional[int] = None,
+                     keep_last: int = 2) -> str:
     """Orbax full-state snapshot. MUST be called from EVERY process on a
     multi-host runtime: orbax synchronizes processes internally (a
     main-only call deadlocks the caller at the barrier), and it wants the
     live global jax.Arrays so it can write per-process shards itself. On
     a single process the tree is np-ified first (cheap, avoids holding
-    device buffers during the write)."""
+    device buffers during the write).
+
+    ``keep_last``: snapshots embed the frozen 1.1B encoder (~4.5 GB at
+    flagship scale), so older ``state_*`` dirs beyond the newest
+    ``keep_last`` are pruned after a successful save (main process only;
+    orbax's internal barrier guarantees all hosts finished writing).
+    Pass 0 to keep everything."""
     import jax
     import orbax.checkpoint as ocp
 
@@ -190,6 +197,13 @@ def save_train_state(state, ckpt_dir: str, step: Optional[int] = None) -> str:
     tree = state if jax.process_count() > 1 else fetch_local(state)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(target, tree, force=True)
+    if keep_last and jax.process_index() == 0:
+        import shutil
+
+        snaps = sorted((p for p in path.glob("state_*") if p.is_dir()),
+                       key=lambda p: int(p.name.split("_")[-1]))
+        for old in snaps[:-keep_last]:
+            shutil.rmtree(old, ignore_errors=True)
     return str(target)
 
 
