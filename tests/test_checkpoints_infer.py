@@ -278,3 +278,27 @@ def test_flax_state_dict_roundtrip(tmp_path, rng):
     p2, s2 = load_flax_state_dict(back)
     jax.tree.map(np.testing.assert_array_equal, params, p2)
     jax.tree.map(np.testing.assert_array_equal, stats, s2)
+
+
+def test_orbax_snapshot_retention(tmp_path):
+    """save_train_state prunes snapshots beyond keep_last (each embeds the
+    frozen encoder — tens of GB over a run otherwise); latest_checkpoint
+    and restore keep working on the survivor."""
+    import jax.numpy as jnp
+
+    from mipheivit_tpu.train.checkpoints import (
+        latest_checkpoint, restore_train_state, save_train_state)
+
+    tree = {"w": jnp.ones((2, 2)), "step": jnp.zeros((), jnp.int32)}
+    d = str(tmp_path / "orbax")
+    for s in (1, 5, 9, 12):
+        save_train_state(tree, d, step=s, keep_last=2)
+    assert {p.name for p in Path(d).glob("state_*")} == {"state_9",
+                                                         "state_12"}
+    back = restore_train_state(
+        latest_checkpoint(d),
+        {"w": np.zeros((2, 2), np.float32), "step": np.zeros((), np.int32)})
+    np.testing.assert_array_equal(back["w"], np.ones((2, 2)))
+    # keep_last=0 disables pruning
+    save_train_state(tree, d, step=20, keep_last=0)
+    assert len(list(Path(d).glob("state_*"))) == 3
