@@ -11,8 +11,11 @@ ownership alone (a nucleus split by a tile edge gets one coherent flow).
 
 Here the spill is float16/uint8 np.memmaps (same bounded-RAM property as
 the reference's HDF5), the backend is pluggable — ``cellpose_flow_factory``
-adapts CellPose when installed; tests drive the plumbing with synthetic
-flow/mask functions — and the labels plane reuses the memmap + banded
+adapts CellPose when installed, and ``flow_dynamics.
+reference_dynamics_factory`` provides a network-free backend (diffusion
+flows over any per-tile segmenter, followed by real flow integration) used
+both as the production fallback and to test the plumbing on
+model-faithful fields — and the labels plane reuses the memmap + banded
 relabel machinery from wsi_nuclei_inference.
 """
 
