@@ -124,16 +124,14 @@ class _Int8Im2ColConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.quant import int8_matmul
+        from ..ops.quant import int8_conv3x3
 
         b, h, w, c = x.shape
         kernel = self.param("kernel", nn.initializers.zeros,
                             (3, 3, c, self.out_chans), jnp.int8)
         scale = self.param("scale", nn.initializers.ones,
                            (self.out_chans,), jnp.float32)
-        y = int8_matmul(_im2col_patches(x),
-                        flatten_conv3x3_kernel(kernel), scale)
-        return y.reshape(b, h, w, self.out_chans).astype(x.dtype)
+        return int8_conv3x3(x, flatten_conv3x3_kernel(kernel), scale)
 
 
 class BasicConv3x3(nn.Module):

@@ -63,3 +63,41 @@ def int8_matmul(x, w_i8, w_scale, bias=None):
     if bias is not None:
         out = out + bias.astype(jnp.float32)[None, :]
     return out.astype(x.dtype).reshape(*lead, -1)
+
+
+def int8_conv3x3(x, w_i8, w_scale):
+    """3x3/stride-1 W8A8 conv as int8 im2col matmul, HBM-bounded.
+
+    Numerically identical to ``int8_matmul(_im2col_patches(x), ...)`` —
+    the per-patch-row activation scale max|row| equals the 3x3 window max
+    of the per-pixel channel amax — but computed WITHOUT an f32 copy of
+    the [B*H*W, 9C] patches: the scale comes from a [B, H, W] channel-amax
+    + 3x3 max-pool (tiny), so each f32 tap is a single-use producer XLA
+    fuses into its int8 consumer and only the int8 patches (1 byte/elem)
+    ever land in HBM. At the flagship's fusion3 (B=96, 128^2, 9C=1008) the
+    old path's f32 patches alone were ~6.3 GB and OOM'd the 16 GB v5e
+    (logs/chip_r4/bench_int8.log); this one materializes ~1.6 GB.
+
+    x: [B, H, W, C] float; w_i8: [9C, K] int8 (``flatten_conv3x3_kernel``
+    order); w_scale: [K] f32. Returns [B, H, W, K] in x.dtype.
+    """
+    b, h, w, c = x.shape
+    # per-output-pixel scale: 3x3 max-pool of the per-pixel channel amax
+    m = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)      # [B, H, W]
+    mp = jnp.pad(m, ((0, 0), (1, 1), (1, 1)))
+    win = jnp.stack([mp[:, dy:dy + h, dx:dx + w]
+                     for dy in range(3) for dx in range(3)]).max(axis=0)
+    sx = jnp.where(win > 0, win / 127.0, 1.0)                 # [B, H, W]
+    inv = (1.0 / sx)[..., None]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    taps = [jnp.clip(jnp.round(
+                xp[:, dy:dy + h, dx:dx + w, :].astype(jnp.float32) * inv),
+                -127, 127).astype(jnp.int8)
+            for dy in range(3) for dx in range(3)]
+    pat = jnp.concatenate(taps, axis=-1).reshape(b * h * w, 9 * c)
+    acc = jax.lax.dot_general(
+        pat, w_i8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out = (acc.astype(jnp.float32)
+           * (sx.reshape(-1, 1) * w_scale[None, :]))
+    return out.reshape(b, h, w, -1).astype(x.dtype)

@@ -13,9 +13,12 @@ Usage: python scripts/profile_attn_r3b.py   (solo on the tunneled chip)
 """
 
 import functools
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, ".")
 
 
 def main():
