@@ -1,12 +1,6 @@
 #!/bin/bash
-# Round-4 follow-up agenda: re-runs whose first attempt was invalid.
-#   - bench --int8: first run OOM'd HBM (f32 im2col patches; fixed by
-#     ops/quant.py::int8_conv3x3's fused-scale formulation).
-#   - attention sweeps: first run was contaminated by a concurrent bench
-#     process on the same chip (two agenda launches raced); re-measure solo.
-#   - attn_batchpack: first run crashed on sys.path (fixed).
-# Same discipline as run_chip_agenda_r4.sh: solo on the chip, bounded,
-# logged to logs/chip_r4/.
+# Continuation of run_chip_agenda_r4.sh: bench_bf16 already captured
+# (logs/chip_r4/bench_bf16.log, 180.8 tiles/s); resume from int8 onward.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p logs/chip_r4
@@ -20,7 +14,11 @@ run() {
   tail -5 "logs/chip_r4/$name.log"
 }
 
-run bench_int8_v2    python bench.py --int8
-run attn_variants_v2 python scripts/profile_attn_r4.py
-run attn_batchpack_v2 python scripts/profile_attn_r3b.py
-echo "agenda r4b done"
+run bench_int8      python bench.py --int8
+run bench_wsi       python bench.py --wsi
+run train_remat     python scripts/profile_train_r3b.py \
+  '[("full",16),("dots",8),("fc1",16),("fc1",8),("mlp_only",16),("mlp_only",8)]'
+run attn_variants   python scripts/profile_attn_r4.py
+run attn_batchpack  python scripts/profile_attn_r3b.py
+run dec_im2col      python scripts/profile_dec_r4.py
+echo "agenda done"
