@@ -63,7 +63,29 @@ def cellpose_segment_factory(model_type: str = "nuclei",
     return segment
 
 
-def get_backend(name: str = "auto") -> Callable:
+def jax_segment_factory(cellpose_ckpt: str) -> Callable:
+    """Per-tile instance segmentation via the first-party CPnet port:
+    network flows + flow-following dynamics, all first-party (reference
+    pipeline: cellpose_wsi_inference.py:187-233)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from flow_wsi import cellpose_jax_flow_factory
+
+    flow_fn, masks_fn = cellpose_jax_flow_factory(cellpose_ckpt)
+
+    def segment(dapi: np.ndarray) -> np.ndarray:
+        dp, prob = flow_fn(dapi)
+        return np.asarray(masks_fn(dp, prob), np.int32)
+
+    return segment
+
+
+def get_backend(name: str = "auto",
+                cellpose_ckpt: Optional[str] = None) -> Callable:
+    if name == "jax":
+        return jax_segment_factory(cellpose_ckpt)
     if name in ("auto", "cellpose"):
         try:
             return cellpose_segment_factory()

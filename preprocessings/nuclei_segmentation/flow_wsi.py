@@ -115,6 +115,61 @@ def cleanup_flow_scratch(labels) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def cellpose_jax_flow_factory(ckpt_path: str = None, params: dict = None,
+                              x01: float = 0.0, x99: float = 0.65,
+                              tile: int = 224, batch_size: int = 64):
+    """First-party TPU/JAX CellPose backend (no optional deps).
+
+    Mirrors the reference eval semantics (cellpose_wsi_inference.py:
+    132-135, 187-218): DAPI/255 normalized by the fixed (X01, X99) window,
+    image rescaled by diam_mean/diam_labels before the net, flows resized
+    back, and the mask-time integration count scaled as
+    ``niter = 200/rescale``. The network is the native CPnet port
+    (mipheivit_tpu.models.cellpose_net) running jitted fixed-shape tile
+    batches.
+    """
+    import cv2
+
+    from mipheivit_tpu.models.cellpose_net import (
+        eval_flows,
+        load_cellpose_checkpoint,
+    )
+
+    if params is None:
+        if not ckpt_path:
+            raise ValueError("cellpose_jax_flow_factory needs ckpt_path "
+                             "or params")
+        params = load_cellpose_checkpoint(ckpt_path)
+    diam_labels = params.get("diam_labels") or params["diam_mean"]
+    rescale = params["diam_mean"] / diam_labels
+    niter = int(round(200.0 / max(rescale, 1e-6)))
+
+    def flow_fn(dapi):
+        x = dapi.astype(np.float32) / 255.0
+        x = (x - x01) / max(x99 - x01, 1e-6)
+        h, w = x.shape[:2]
+        if rescale != 1.0:
+            x = cv2.resize(x, (max(int(round(w * rescale)), 1),
+                               max(int(round(h * rescale)), 1)),
+                           interpolation=cv2.INTER_LINEAR)
+        dp, prob = eval_flows(params, x, tile=tile, batch_size=batch_size)
+        if rescale != 1.0:
+            dp = np.stack([cv2.resize(dp[c], (w, h),
+                                      interpolation=cv2.INTER_LINEAR)
+                           for c in range(2)])
+            prob = cv2.resize(prob, (w, h),
+                              interpolation=cv2.INTER_LINEAR)
+        return dp.astype(np.float32), prob.astype(np.float32)
+
+    def compute_masks_fn(dp, cellprob):
+        from flow_dynamics import compute_masks
+
+        return compute_masks(dp, cellprob, cellprob_threshold=0.0,
+                             n_iter=niter)
+
+    return flow_fn, compute_masks_fn
+
+
 def cellpose_flow_factory(pretrained_model: str = None,
                           x01: float = 0.0, x99: float = 0.65):
     """CellPose adapter (reference :135-209): ``flow_fn`` runs

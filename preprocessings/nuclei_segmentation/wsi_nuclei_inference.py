@@ -174,7 +174,12 @@ def main():
     parser.add_argument("--slide_path", required=True)
     parser.add_argument("--out_path", required=True)
     parser.add_argument("--backend", default="auto",
-                        choices=["auto", "cellpose", "classical"])
+                        choices=["auto", "cellpose", "classical", "jax"],
+                        help="'jax' = first-party CPnet port on TPU "
+                             "(needs --cellpose_ckpt; no optional deps)")
+    parser.add_argument("--cellpose_ckpt", default=None,
+                        help="CellPose torch checkpoint for --backend jax "
+                             "(reference: cellpose_wsi_inference.py:148)")
     parser.add_argument("--dapi_channel", type=int, default=0)
     parser.add_argument("--tile_size", type=int, default=2048)
     parser.add_argument("--halo", type=int, default=128)
@@ -197,11 +202,21 @@ def main():
 
     reader = SlideReader(args.slide_path, mode="IF")
     scratch = args.scratch_path or (args.out_path + ".labels.raw")
+    if args.backend == "jax" and not args.cellpose_ckpt:
+        parser.error("--backend jax requires --cellpose_ckpt")
     if args.flow_averaging:
-        from flow_wsi import cellpose_flow_factory, flow_segment_wsi
+        from flow_wsi import (
+            cellpose_flow_factory,
+            cellpose_jax_flow_factory,
+            flow_segment_wsi,
+        )
 
         try:
-            flow_fn, masks_fn = cellpose_flow_factory()
+            if args.backend == "jax":
+                flow_fn, masks_fn = cellpose_jax_flow_factory(
+                    args.cellpose_ckpt)
+            else:
+                flow_fn, masks_fn = cellpose_flow_factory()
         except ImportError:
             # network-free flow averaging: classical per-tile masks are
             # converted to CellPose-definition diffusion flows, averaged
@@ -220,7 +235,8 @@ def main():
             scratch_dir=str(Path(scratch).parent / "flow_scratch"),
             target_mpp=args.target_mpp or None)
     else:
-        segment_fn = get_backend(args.backend)
+        segment_fn = get_backend(args.backend,
+                                 cellpose_ckpt=args.cellpose_ckpt)
         labels = segment_wsi(reader, segment_fn, args.tile_size, args.halo,
                              args.dapi_channel, scratch_path=scratch,
                              target_mpp=args.target_mpp or None)
