@@ -168,7 +168,7 @@ def wsi_main(slide_px: int, batch_size: int = 0):
     out = str(tmp / "pred.ome.tiff")
     wsi_inference(model, params, slide, out, markers, norm,
                   tile_size=256, overlap=64, batch_size=batch,
-                  tissue_only=False, stats=stats)
+                  tissue_only=False, stats=stats, fetch_uint8=True)
 
     # joint fallback: with a single batch there is no steady window, so use
     # the full wall clock *and* the full tile count together (mixing the

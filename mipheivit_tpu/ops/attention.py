@@ -630,7 +630,10 @@ def _resolve_bshd_kernel(hpb: int):
     an even head group and falls back to production otherwise."""
     import os
 
-    variant = os.environ.get("MIPHEI_ATTN_VARIANT", "interleaved")
+    # r5 on-chip sweep (logs/chip_r4/attn_variants.log): staged 1.377 vs
+    # interleaved 1.446 vs paired_bd 1.765 ms/B64-block; flagship e2e
+    # 357.1 / 362.9 / 370.6 ms — staged is the measured production default
+    variant = os.environ.get("MIPHEI_ATTN_VARIANT", "staged")
     if variant not in _BSHD_KERNELS:
         raise ValueError(
             f"MIPHEI_ATTN_VARIANT={variant!r} unknown; options: "

@@ -231,6 +231,37 @@ def test_wsi_streaming_matches_inram(inference_setup, tmp_path):
     ta.close(); tb.close()
 
 
+def test_wsi_fetch_uint8_matches_f16(inference_setup, tmp_path):
+    """On-device uint8 quantized fetch (half the transfer) must agree with
+    the f16 fetch within 1 uint8 LSB everywhere (exact weight-sum division
+    bounds the seam error — see infer/wsi.py)."""
+    cfg, ckpt_dir, vit_cfg, (model, variables) = inference_setup
+    from mipheivit_tpu.data.stats import Normalizer
+    from mipheivit_tpu.infer import wsi_inference
+
+    rng = np.random.default_rng(13)
+    he = rng.integers(60, 255, (3, 160, 128), dtype=np.uint8)
+    slide_path = str(tmp_path / "wsi4.tiff")
+    write_pyramid(slide_path, he, n_levels=2, tile_size=32)
+    norm = Normalizer({"mean": [180.0] * 3, "std": [40.0] * 3}, "he")
+    kwargs = dict(tile_size=32, overlap=8, batch_size=2, tissue_only=False,
+                  n_pyramid_levels=2)
+    out_f = wsi_inference(model, variables, slide_path,
+                          str(tmp_path / "f.ome.tiff"),
+                          ["CD31", "CD3e", "Ki67"], norm, **kwargs)
+    out_u = wsi_inference(model, variables, slide_path,
+                          str(tmp_path / "u.ome.tiff"),
+                          ["CD31", "CD3e", "Ki67"], norm,
+                          fetch_uint8=True, **kwargs)
+    tf_, tu = TiffSlide(out_f), TiffSlide(out_u)
+    a = tf_.read_region((0, 0), 0, tf_.dimensions).astype(np.int32)
+    b = tu.read_region((0, 0), 0, tu.dimensions).astype(np.int32)
+    diff = np.abs(a - b)
+    assert diff.max() <= 1, diff.max()
+    assert np.median(diff) == 0
+    tf_.close(); tu.close()
+
+
 def test_wsi_inference_mesh_matches_single_device(inference_setup, tmp_path):
     """Batch-sharded WSI inference over the 8-device CPU mesh must stitch
     bit-equal to the single-device path (VERDICT r1 #3)."""
