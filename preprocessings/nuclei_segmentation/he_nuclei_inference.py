@@ -20,14 +20,10 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).parent.parent.parent))
 sys.path.insert(0, str(Path(__file__).parent))
 
-from backends import classical_segment, expand_labels, find_boundaries  # noqa: E402
+from backends import classical_segment, expand_labels  # noqa: E402
 from wsi_nuclei_inference import segment_wsi  # noqa: E402
 from mipheivit_tpu.ops.hed import rgb2hed  # noqa: E402
-from mipheivit_tpu.slideio import (  # noqa: E402
-    SlideReader,
-    build_ome_xml,
-    write_pyramid,
-)
+from mipheivit_tpu.slideio import SlideReader  # noqa: E402
 
 
 def hematoxylin_segment(rgb_tile: np.ndarray) -> np.ndarray:
@@ -66,9 +62,74 @@ def rasterize_polygons(polygons, shape, expansion_px: float = 0.0) -> np.ndarray
 
     labels = np.zeros(shape, np.int32)
     for i, poly in enumerate(polygons):
-        pts = np.asarray(poly, np.int32).reshape(-1, 1, 2)
+        # round (not truncate) float vertices — same convention as the
+        # tiled rasterize_wsi_labels so the two paths are bit-identical
+        pts = np.rint(np.asarray(poly, np.float64)).astype(
+            np.int32).reshape(-1, 1, 2)
         cv2.fillPoly(labels, [pts], i + 1)
     return expand_labels(labels, expansion_px)
+
+
+def _bucket_polygons(polygons, tile_size: int, halo: int, shape):
+    """Grid bucketing by bbox — the first-party stand-in for the
+    reference's shapely STRtree tile query (create_wsi_nuclei.py:81-92).
+    Returns {(ty, tx): [(global_idx, poly_np), ...]}."""
+    h, w = shape
+    buckets: dict = {}
+    for i, poly in enumerate(polygons):
+        pts = np.asarray(poly, np.float64).reshape(-1, 2)
+        x0, y0 = pts.min(axis=0) - halo
+        x1, y1 = pts.max(axis=0) + halo
+        tx0 = max(int(x0 // tile_size), 0)
+        ty0 = max(int(y0 // tile_size), 0)
+        tx1 = min(int(x1 // tile_size), max((w - 1) // tile_size, 0))
+        ty1 = min(int(y1 // tile_size), max((h - 1) // tile_size, 0))
+        for ty in range(ty0, ty1 + 1):
+            for tx in range(tx0, tx1 + 1):
+                buckets.setdefault((ty, tx), []).append((i, pts))
+    return buckets
+
+
+def rasterize_wsi_labels(polygons, shape, tile_size: int = 2048,
+                         expansion_px: float = 4.0,
+                         out=None) -> np.ndarray:
+    """Bounded-RAM polygon-JSON -> whole-slide label plane.
+
+    The reference streams this per 2048px tile (create_wsi_nuclei.py:
+    89-114): polygons intersecting each tile are rasterized with their
+    GLOBAL index as the label — a nucleus spanning a tile seam keeps ONE id
+    in both tiles — then expanded by watershed into a disk(4)-dilated mask.
+    Here each tile is processed with a halo wide enough that expansion
+    cannot depend on out-of-tile pixels, and only the core is written, so
+    the output is bit-identical to a whole-plane pass
+    (tests/test_preprocessing.py asserts this). ``out`` may be an
+    np.memmap; only one (tile + halo)^2 int32 scratch is ever resident.
+    """
+    h, w = shape
+    if out is None:
+        out = np.zeros((h, w), np.int32)
+    halo = int(np.ceil(expansion_px)) + 2
+    buckets = _bucket_polygons(polygons, tile_size, halo, shape)
+    import cv2
+
+    for (ty, tx), items in sorted(buckets.items()):
+        y0 = max(ty * tile_size - halo, 0)
+        x0 = max(tx * tile_size - halo, 0)
+        y1 = min((ty + 1) * tile_size + halo, h)
+        x1 = min((tx + 1) * tile_size + halo, w)
+        tile = np.zeros((y1 - y0, x1 - x0), np.int32)
+        # ascending global id = reference rasterize overwrite order
+        # (rasterio paints shapes in list order; later shapes win ties)
+        for gid, pts in sorted(items):
+            p = np.rint(pts - [x0, y0]).astype(np.int32).reshape(-1, 1, 2)
+            cv2.fillPoly(tile, [p], gid + 1)
+        if expansion_px > 0:
+            tile = expand_labels(tile, expansion_px)
+        cy0, cx0 = ty * tile_size, tx * tile_size
+        cy1 = min((ty + 1) * tile_size, h)
+        cx1 = min((tx + 1) * tile_size, w)
+        out[cy0:cy1, cx0:cx1] = tile[cy0 - y0:cy1 - y0, cx0 - x0:cx1 - x0]
+    return out
 
 
 def main():
@@ -86,20 +147,26 @@ def main():
     if args.polygons_json:
         polys = load_hoverfast_polygons(args.polygons_json)
         w, h = reader.dimensions
-        labels = rasterize_polygons(polys, (h, w), args.expansion_px)
+        scratch = args.out_path + ".labels.raw"
+        out = np.memmap(scratch, dtype=np.int32, mode="w+", shape=(h, w))
+        labels = rasterize_wsi_labels(polys, (h, w), tile_size=args.tile_size,
+                                      expansion_px=args.expansion_px, out=out)
     else:
         labels = segment_wsi(reader, hematoxylin_segment, args.tile_size,
                              args.halo, dapi_channel=None)
         labels = expand_labels(labels, args.expansion_px)
-    boundaries = find_boundaries(labels)
-    stack = np.stack([labels, boundaries]).astype(np.int32)
-    xml = build_ome_xml(labels.shape[1], labels.shape[0],
-                        ["nuclei", "boundaries"], "int32",
-                        physical_size_um=reader.mpp)
-    write_pyramid(args.out_path, stack, n_levels=4, tile_size=512,
-                  mpp=reader.mpp or 0.0, ome_xml=xml)
+    # expansion already applied above (tiled/halo-consistent), so the
+    # banded pyramid streamer only extracts boundaries (expansion_px=0)
+    from wsi_nuclei_inference import stream_labels_pyramid
+
+    stream_labels_pyramid(labels, args.out_path, reader.mpp or 0.0,
+                          expansion_px=0.0)
+    n = int(labels.max())
     reader.close()
-    print(f"{labels.max()} nuclei -> {args.out_path}")
+    if args.polygons_json:
+        del labels
+        Path(args.out_path + ".labels.raw").unlink(missing_ok=True)
+    print(f"{n} nuclei -> {args.out_path}")
 
 
 if __name__ == "__main__":

@@ -478,6 +478,62 @@ def test_he_nuclei_hoverfast_polygons_e2e(wsi_pair, tmp_path, monkeypatch):
     assert boundaries.max() > 0
 
 
+def _ring_polygon(cx, cy, r, n=14, rng=None):
+    th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    rr = r * (1.0 if rng is None else (0.75 + 0.5 * rng.random(n)))
+    return np.stack([cx + rr * np.cos(th), cy + rr * np.sin(th)], -1).tolist()
+
+
+def test_rasterize_wsi_labels_matches_whole_plane():
+    """The tiled bounded-RAM rasterizer (reference create_wsi_nuclei.py:
+    89-114 contract: per-tile query, GLOBAL polygon index as label,
+    halo-consistent expansion) must be bit-identical to one whole-plane
+    fillPoly + expand pass."""
+    import he_nuclei_inference as hni
+
+    rng = np.random.default_rng(7)
+    h, w = 700, 900
+    polys = []
+    # irregular nuclei everywhere, several deliberately straddling the
+    # 256px tile seams
+    for _ in range(70):
+        polys.append(_ring_polygon(rng.uniform(10, w - 10),
+                                   rng.uniform(10, h - 10),
+                                   rng.uniform(5, 14), rng=rng))
+    for seam in (256, 512):
+        polys.append(_ring_polygon(seam, rng.uniform(40, h - 40), 12,
+                                   rng=rng))
+        polys.append(_ring_polygon(rng.uniform(40, w - 40), 256, 12,
+                                   rng=rng))
+
+    whole = hni.rasterize_polygons(polys, (h, w), expansion_px=4.0)
+    tiled = hni.rasterize_wsi_labels(polys, (h, w), tile_size=256,
+                                     expansion_px=4.0)
+    mismatch = (whole != tiled).mean()
+    assert mismatch == 0.0, f"tiled/whole mismatch {mismatch:.2e}"
+    # global-id contract: a seam-straddling polygon carries ONE id on
+    # both sides of the tile boundary
+    gid = len(polys) - 4 + 1                    # first seam polygon
+    on_left = (tiled[:, :256] == gid).sum()
+    on_right = (tiled[:, 256:512] == gid).sum()
+    assert on_left > 0 and on_right > 0
+
+
+def test_rasterize_wsi_labels_memmap_out(tmp_path):
+    """Gigapixel contract: the output plane may be a disk-backed memmap;
+    per-tile scratch is the only RAM use."""
+    import he_nuclei_inference as hni
+
+    h, w = 300, 400
+    polys = [_ring_polygon(100, 100, 12), _ring_polygon(300, 200, 12)]
+    mm = np.memmap(tmp_path / "lab.raw", np.int32, "w+", shape=(h, w))
+    out = hni.rasterize_wsi_labels(polys, (h, w), tile_size=128,
+                                   expansion_px=2.0, out=mm)
+    assert out is mm
+    assert out[100, 100] == 1 and out[200, 300] == 2
+    assert set(np.unique(out)) == {0, 1, 2}
+
+
 def test_he_nuclei_classical_fallback_e2e(tmp_path, monkeypatch):
     """No polygons: the HED-hematoxylin watershed fallback segments
     nucleus-like dark-blue blobs on pale tissue and writes the contract."""
