@@ -135,7 +135,13 @@ class SwinBlock(nn.Module):
         # x: [B, H, W, C]
         b, h, w, c = x.shape
         win = min(self.window, h, w)
-        shift = self.shift if win < min(h, w) or self.shift < win else 0
+        # timm gate (SwinTransformerBlock._calc_window_shift / the older
+        # "if min(input_resolution) <= window_size: shift_size = 0"): a
+        # stage whose grid fits in one window never shifts — e.g.
+        # swin-tiny stage 3 (grid 7 = window 7) runs plain W-MSA on both
+        # blocks. Shifting there would double-count the single window
+        # through the roll+mask path and break checkpoint parity.
+        shift = self.shift if min(h, w) > win else 0
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=x.dtype)(x)
         pad_h = (win - h % win) % win

@@ -18,6 +18,8 @@ everywhere; inputs may be bf16.
 from __future__ import annotations
 
 import functools
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -509,7 +511,17 @@ def _pick_heads_per_block(num_heads: int, s: int, d: int) -> int:
     production kernel 1.27 -> ~0.85 ms/block, and hpb=24 / direct-store
     hpb=12 measure statistically tied with it — so the 2 MB block budget
     below (which lands on hpb=12) stays, now as the *measured* optimum
-    rather than a VMEM-rejection workaround."""
+    rather than a VMEM-rejection workaround.
+
+    r5 re-sweep (scripts/profile_attn_r3b.py on-chip log
+    logs/chip_r4/attn_batchpack.log): direct-store hpb=24 measured 1.003
+    ms/block vs 1.056 production — MIPHEI_ATTN_HPB overrides the budget
+    pick for the in-model trial."""
+    env = os.environ.get("MIPHEI_ATTN_HPB")
+    if env:
+        cand = int(env)
+        if num_heads % cand == 0:
+            return cand
     budget = 2 * 1024 * 1024
     for cand in range(num_heads, 0, -1):
         if num_heads % cand == 0 and 4 * s * cand * d * 2 <= budget:
@@ -628,7 +640,6 @@ def _resolve_bshd_kernel(hpb: int):
     (MIPHEI_ATTN_VARIANT=interleaved|staged|paired_bd). Production default
     is the measured r3 optimum; change only with numbers. paired_bd needs
     an even head group and falls back to production otherwise."""
-    import os
 
     # r5 on-chip sweep (logs/chip_r4/attn_variants.log): staged 1.377 vs
     # interleaved 1.446 vs paired_bd 1.765 ms/B64-block; flagship e2e

@@ -38,6 +38,14 @@ TAPS = (0, 20, 39)
 # test time as-is (f32, 40 blocks of accumulation)
 TOL = {"tap": 1e-4, "enc": 2e-4, "out": 5e-4}
 
+# UNETR fixture (VERDICT r4 #10): same flagship ViT geometry, but through
+# the UNETR pyramid — extract_layers linspace over depth 40, patch-14 ->
+# /16 nearest re-grid ahead of the deconv pyramids, 312-bottleneck CellViT
+# decoder (embed < 512 branch), 16 attention seg heads. Locks
+# unetr_from_torch + UnetrViT against the torch oracle.
+UNETR_FIXTURE_PATH = REPO / "tests/fixtures/parity_unetr_geom.npz"
+UNETR_TOL = {"out": 5e-4}
+
 
 def fixture_vit_cfg():
     from mipheivit_tpu.models import ViTConfig
@@ -103,6 +111,63 @@ def run_jax(keys_shapes):
     enc_final, taps = jax.jit(enc.apply)(
         {"params": params["encoder"]["vit"]}, x)
     return (np.asarray(enc_final), [np.asarray(t) for t in taps], out)
+
+
+def run_jax_unetr(keys_shapes):
+    """Torch-free side: synth UNETR checkpoint -> import -> forward."""
+    import jax.numpy as jnp
+
+    from mipheivit_tpu.models.import_weights import unetr_from_torch
+    from mipheivit_tpu.models.unetr import UnetrViT
+
+    cfg = fixture_vit_cfg()
+    state = synth_state_dict(keys_shapes)
+    params, batch_stats = unetr_from_torch(state, cfg, out_chans=16)
+    model = UnetrViT(vit_cfg=cfg, out_chans=16)
+    x = jnp.asarray(synth_input())
+    return np.asarray(model.apply(
+        {"params": params, "batch_stats": batch_stats}, x, train=False))
+
+
+def main_unetr():
+    import torch
+
+    from torch_oracle import OracleUnetr, OracleViT
+
+    vit = OracleViT(img_size=256, patch=14, dim=128, depth=40, heads=2,
+                    hidden=256, reg_tokens=4, swiglu=True, ls=True,
+                    no_embed_class=True)
+    oracle = OracleUnetr(vit, img_size=256, patch=14, out_chans=16).eval()
+
+    keys_shapes = [(k, tuple(v.shape))
+                   for k, v in oracle.state_dict().items()
+                   if v.dtype.is_floating_point]
+    state = synth_state_dict(keys_shapes)
+    missing, unexpected = oracle.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in state.items()}, strict=False)
+    assert not unexpected, unexpected
+    assert all("num_batches_tracked" in k for k in missing), missing
+
+    x = synth_input()
+    with torch.no_grad():
+        out_t = oracle(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    out_t = out_t.transpose(0, 2, 3, 1)
+
+    out_j = run_jax_unetr(keys_shapes)
+    d = float(np.max(np.abs(out_t - out_j)))
+    assert d < UNETR_TOL["out"] / 2, (d, UNETR_TOL)
+    print(f"unetr out: torch-vs-jax max|diff| = {d:.2e} "
+          f"(budget {UNETR_TOL['out']:.0e})")
+
+    UNETR_FIXTURE_PATH.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        UNETR_FIXTURE_PATH,
+        meta=np.str_(json.dumps({
+            "keys_shapes": [[k, list(s)] for k, s in keys_shapes],
+            "tol": UNETR_TOL, "gen_diff": d})),
+        out=out_t)
+    print(f"wrote {UNETR_FIXTURE_PATH} "
+          f"({UNETR_FIXTURE_PATH.stat().st_size / 1e6:.2f} MB)")
 
 
 def main():
@@ -173,4 +238,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", choices=["flagship", "unetr"], default=None)
+    a = ap.parse_args()
+    if a.only in (None, "flagship"):
+        main()
+    if a.only in (None, "unetr"):
+        main_unetr()

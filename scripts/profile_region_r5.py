@@ -1,0 +1,74 @@
+"""On-chip whole-region forward latency (VERDICT r4 #9).
+
+The whole-region path (1024-px region, >5k tokens through the long-seq
+Pallas flash kernel, bicubic pos-embed re-grid to the /16 decoder grid)
+is correctness-locked by tests/test_whole_region.py on CPU interpret;
+this script produces the missing single-chip perf datum: flagship
+MIPHEI-ViT (ViT-g encoder, 16 markers) forward at region scale, bf16,
+B=1 and B=2, slope-fit timing.
+
+Reference framing: the reference tiles slides into 256-px crops because
+torch SDPA at region scale would materialize [S,S] probs
+(src/dataset.py crops); the equivalent work here is 16 tiles/region.
+
+Run on an idle chip:  python scripts/profile_region_r5.py
+"""
+
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+REGION = 1022  # patch-14 flagship: 73x73 grid = 5329 tokens (+5 prefix)
+
+
+def slope(fn, args, sizes=(2, 6)):
+    import jax
+    import jax.numpy as jnp
+
+    times = []
+    for n in sizes:
+        @jax.jit
+        def loop(a, seed, n=n):
+            def body(c, i):
+                out = fn(a + (seed + i.astype(jnp.float32)) * 1e-6)
+                return c + out.mean(), None
+            return jax.lax.scan(body, 0.0, jnp.arange(n))[0]
+
+        float(loop(*args, 0.0))
+        t0 = time.time()
+        float(loop(*args, 1.0))
+        times.append(time.time() - t0)
+    return (times[1] - times[0]) / (sizes[1] - sizes[0])
+
+
+def main():
+    import jax
+
+    from bench import build_flagship
+
+    backend = jax.default_backend()
+    dtype = "bfloat16" if backend == "tpu" else "float32"
+    model, params = build_flagship(dtype, REGION)
+    grid = model.vit_cfg.grid_size
+    tokens = grid[0] * grid[1] + model.vit_cfg.num_prefix_tokens
+    print(f"backend={backend}  region={REGION}px  grid={grid}  "
+          f"tokens={tokens}")
+    assert tokens > 4096, "not a long-seq shape"
+
+    for b in (1, 2):
+        x = jax.random.normal(jax.random.PRNGKey(1),
+                              (b, REGION, REGION, 3))
+        t = slope(lambda xx: model.apply(params, xx, train=False), (x,))
+        # equivalent 256-px tile work: (REGION/256)^2 tiles per region
+        eq_tiles = b * (REGION / 256.0) ** 2
+        print(f"region fwd B={b}: {t * 1e3:8.1f} ms/batch   "
+              f"{b / t:6.2f} regions/s   "
+              f"(~{eq_tiles / t:6.1f} 256px-tile-equivalents/s)")
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

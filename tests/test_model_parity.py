@@ -311,6 +311,29 @@ def test_flagship_geometry_golden_fixture():
     np.testing.assert_allclose(out_j, z["out"], atol=tol["out"], rtol=0)
 
 
+def test_unetr_geometry_golden_fixture():
+    """Golden-fixture lock for the UNETR family (VERDICT r4 #10):
+    deterministic torch-layout checkpoint -> unetr_from_torch -> UnetrViT
+    forward at flagship ViT geometry (patch 14 / depth 40 / extract-layers
+    linspace / nearest re-grid to the /16 grid / 312-bottleneck decoder /
+    16 attention heads) must match the frozen torch-oracle output —
+    torch-free at test time. Regenerate with
+    scripts/make_parity_fixtures.py --only unetr."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+    from make_parity_fixtures import run_jax_unetr
+
+    path = Path(__file__).parent / "fixtures/parity_unetr_geom.npz"
+    z = np.load(path)
+    meta = json.loads(str(z["meta"]))
+    out_j = run_jax_unetr([(k, tuple(s)) for k, s in meta["keys_shapes"]])
+    np.testing.assert_allclose(out_j, z["out"], atol=meta["tol"]["out"],
+                               rtol=0)
+
+
 def test_im2col_conv_matches_xla(rng):
     """BasicConv3x3 impl="im2col" (9-tap patches + one full-depth matmul)
     must match the plain 3x3 conv with the same params."""

@@ -9,6 +9,8 @@ reference's key layout, so the import path is exercised end-to-end.
 
 import math
 
+import numpy as np
+
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
@@ -205,3 +207,164 @@ class OracleMiphei(nn.Module):
         if self.target_grid != self.grid:
             feats = F.interpolate(feats, size=(self.target_grid,) * 2, mode="bicubic")
         return self.decoder(feats, x)
+
+
+# ---------------------------------------------------------------------------
+# UNETR family (reference src/generators/unet.py key layout)
+
+
+class OracleConv2DBlock(nn.Module):
+    """reference unet.py:441-474: .block = Sequential(Conv, BN, ReLU, Drop)."""
+
+    def __init__(self, cin, cout, k=3):
+        super().__init__()
+        self.block = nn.Sequential(
+            nn.Conv2d(cin, cout, k, 1, (k - 1) // 2),
+            nn.BatchNorm2d(cout),
+            nn.ReLU(),
+            nn.Dropout(0.0),
+        )
+
+    def forward(self, x):
+        return self.block(x)
+
+
+class OracleDeconv2DBlock(nn.Module):
+    """reference unet.py:477-519: .block = Sequential(ConvT k2/s2, Conv,
+    BN, ReLU, Drop)."""
+
+    def __init__(self, cin, cout, k=3):
+        super().__init__()
+        self.block = nn.Sequential(
+            nn.ConvTranspose2d(cin, cout, 2, 2, 0),
+            nn.Conv2d(cout, cout, k, 1, (k - 1) // 2),
+            nn.BatchNorm2d(cout),
+            nn.ReLU(),
+            nn.Dropout(0.0),
+        )
+
+    def forward(self, x):
+        return self.block(x)
+
+
+class OracleViTFeatureUpsampler(nn.Module):
+    """reference unet.py:176-235 (Sequential slot 0 = Upsample/Identity)."""
+
+    def __init__(self, embed_dim, scale_factor=None):
+        super().__init__()
+        if embed_dim < 512:
+            s11, s12, bott = 256, 128, 312
+        else:
+            s11, s12, bott = 512, 256, 512
+        up = (lambda: nn.Upsample(scale_factor=scale_factor, mode="nearest")
+              ) if scale_factor else (lambda: nn.Identity())
+        self.convsteam = nn.Sequential(OracleConv2DBlock(3, 32),
+                                       OracleConv2DBlock(32, 64))
+        self.upsampler0 = nn.Sequential(
+            up(), OracleDeconv2DBlock(embed_dim, s11),
+            OracleDeconv2DBlock(s11, s12), OracleDeconv2DBlock(s12, 128))
+        self.upsampler1 = nn.Sequential(
+            up(), OracleDeconv2DBlock(embed_dim, s11),
+            OracleDeconv2DBlock(s11, 256))
+        self.upsampler2 = nn.Sequential(
+            up(), OracleDeconv2DBlock(embed_dim, bott))
+        self.upsampler3 = nn.Sequential(up())
+
+    def forward(self, x, feats):
+        return [self.convsteam(x),
+                self.upsampler0(feats[0]),
+                self.upsampler1(feats[1]),
+                self.upsampler2(feats[2]),
+                self.upsampler3(feats[3])]
+
+
+class OracleCellViTDecoder(nn.Module):
+    """reference unet.py:288-404."""
+
+    def __init__(self, enc_out_channels, out_channels=32):
+        super().__init__()
+        c0, c1, c2, c3, c4 = enc_out_channels
+        self.bottleneck_upsampler = nn.ConvTranspose2d(c4, c3, 2, 2, 0)
+        self.decoder3_upsampler = nn.Sequential(
+            OracleConv2DBlock(c3 * 2, c3), OracleConv2DBlock(c3, c3),
+            OracleConv2DBlock(c3, c3), nn.ConvTranspose2d(c3, c2, 2, 2, 0))
+        self.decoder2_upsampler = nn.Sequential(
+            OracleConv2DBlock(c2 * 2, c2), OracleConv2DBlock(c2, c2),
+            nn.ConvTranspose2d(c2, c1, 2, 2, 0))
+        self.decoder1_upsampler = nn.Sequential(
+            OracleConv2DBlock(c1 * 2, c1), OracleConv2DBlock(c1, c1),
+            nn.ConvTranspose2d(c1, c0, 2, 2, 0))
+        self.decoder0_header = nn.Sequential(
+            OracleConv2DBlock(c0 * 2, c0), OracleConv2DBlock(c0, c0),
+            nn.Conv2d(c0, out_channels, 1, 1, 0))
+
+    def forward(self, feats):
+        z0, z1, z2, z3, z4 = feats
+        b4 = self.bottleneck_upsampler(z4)
+        b3 = self.decoder3_upsampler(torch.cat([z3, b4], 1))
+        b2 = self.decoder2_upsampler(torch.cat([z2, b3], 1))
+        b1 = self.decoder1_upsampler(torch.cat([z1, b2], 1))
+        return self.decoder0_header(torch.cat([z0, b1], 1))
+
+
+class OracleUnetr(nn.Module):
+    """Full UNETR with 'encoder.model.' timm-ViT keys, matching
+    unetr_from_torch's expected layout (import_weights.py:389-466)."""
+
+    def __init__(self, vit: "OracleViT", img_size, patch, out_chans=16,
+                 decoder_out_channels=32):
+        super().__init__()
+        self.encoder = nn.Module()
+        self.encoder.model = vit
+        depth = len(vit.blocks)
+        if depth == 4:
+            self.extract_layers = [0, 1, 2, 3]
+        else:
+            self.extract_layers = np.round(
+                np.linspace(depth // 4, depth - 1, 4)).astype(int).tolist()
+        scale = None
+        if patch != 16:
+            scale = int(img_size / 16) / int(img_size / patch)
+        emb = vit.pos_embed.shape[-1]
+        self.encoder.feature_upsampler = OracleViTFeatureUpsampler(
+            emb, scale_factor=scale)
+        out_ch = (64, 128, 256, 312 if emb < 512 else 512, emb)
+        self.decoder = OracleCellViTDecoder(out_ch, decoder_out_channels)
+        self.out_chans = out_chans
+        for k in range(out_chans):
+            setattr(self, f"segmentation_head_{k}",
+                    OracleSegHead(decoder_out_channels))
+        self.grid = img_size // patch
+
+    def vit_taps(self, x):
+        """timm forward_intermediates(norm=False, NCHW) equivalent:
+        block outputs at extract_layers, prefix dropped, token grid."""
+        vit = self.encoder.model
+        h = vit.patch_embed.proj(x)
+        b, d, gh, gw = h.shape
+        h = h.flatten(2).transpose(1, 2)
+        prefix = [vit.cls_token.expand(b, -1, -1)]
+        if vit.reg_token is not None:
+            prefix.append(vit.reg_token.expand(b, -1, -1))
+        if vit.no_embed_class:
+            h = h + vit.pos_embed
+            h = torch.cat(prefix + [h], dim=1)
+        else:
+            h = torch.cat(prefix + [h], dim=1)
+            h = h + vit.pos_embed
+        taps = []
+        want = set(self.extract_layers)
+        for i, blk in enumerate(vit.blocks):
+            h = blk(h)
+            if i in want:
+                t = h[:, vit.num_prefix:]
+                taps.append(t.transpose(1, 2).reshape(b, d, gh, gw))
+        return taps
+
+    def forward(self, x):
+        feats = self.vit_taps(x)
+        feats = self.encoder.feature_upsampler(x, feats)
+        h = self.decoder(feats)
+        outs = [getattr(self, f"segmentation_head_{k}")(h)
+                for k in range(self.out_chans)]
+        return torch.cat(outs, 1)
