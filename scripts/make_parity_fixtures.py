@@ -46,6 +46,18 @@ TOL = {"tap": 1e-4, "enc": 2e-4, "out": 5e-4}
 UNETR_FIXTURE_PATH = REPO / "tests/fixtures/parity_unetr_geom.npz"
 UNETR_TOL = {"out": 5e-4}
 
+# HEMIT-hybrid fixture (VERDICT r4 #10, third family): HybridSwinT at the
+# production channel plan (embed 96, cnn 16/32/64, 4 stages) with
+# depths (2,2,3,1) and window 4 so stage 0 (grid 8 > win 4) runs a real
+# shifted-window block (mask + roll) and deeper stages exercise the
+# per-block window clamp. Locks hybrid_swint_from_torch + HybridSwinT
+# against an independent timm-semantics torch oracle.
+HYBRID_FIXTURE_PATH = REPO / "tests/fixtures/parity_hybrid_geom.npz"
+HYBRID_GEOM = dict(out_channels=3, cnn_channels=(16, 32, 64), embed_dim=96,
+                   depths=(2, 2, 3, 1), num_heads=(3, 6, 12, 24),
+                   window_size=4, patch_size=4)
+HYBRID_TOL = {"out": 5e-4}
+
 
 def fixture_vit_cfg():
     from mipheivit_tpu.models import ViTConfig
@@ -170,6 +182,58 @@ def main_unetr():
           f"({UNETR_FIXTURE_PATH.stat().st_size / 1e6:.2f} MB)")
 
 
+def run_jax_hybrid(keys_shapes):
+    """Torch-free side: synth HybridSwinT checkpoint -> import -> forward."""
+    import jax.numpy as jnp
+
+    from mipheivit_tpu.models.hemit_hybrid import HybridSwinT
+    from mipheivit_tpu.models.import_hemit import hybrid_swint_from_torch
+
+    model = HybridSwinT(**HYBRID_GEOM)
+    state = synth_state_dict(keys_shapes)
+    params, batch_stats = hybrid_swint_from_torch(state, model, (256, 256))
+    x = jnp.asarray(synth_input())
+    return np.asarray(model.apply(
+        {"params": params, "batch_stats": batch_stats}, x, train=False))
+
+
+def main_hybrid():
+    import torch
+
+    from torch_oracle import OracleHybridSwinT
+
+    oracle = OracleHybridSwinT(img_size=256, **HYBRID_GEOM).eval()
+    keys_shapes = [(k, tuple(v.shape))
+                   for k, v in oracle.state_dict().items()
+                   if v.dtype.is_floating_point]
+    state = synth_state_dict(keys_shapes)
+    missing, unexpected = oracle.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in state.items()}, strict=False)
+    assert not unexpected, unexpected
+    assert all("num_batches_tracked" in k for k in missing), missing
+
+    x = synth_input()
+    with torch.no_grad():
+        out_t = oracle(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    out_t = out_t.transpose(0, 2, 3, 1)
+
+    out_j = run_jax_hybrid(keys_shapes)
+    d = float(np.max(np.abs(out_t - out_j)))
+    assert d < HYBRID_TOL["out"] / 2, (d, HYBRID_TOL)
+    print(f"hybrid out: torch-vs-jax max|diff| = {d:.2e} "
+          f"(budget {HYBRID_TOL['out']:.0e})")
+
+    HYBRID_FIXTURE_PATH.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        HYBRID_FIXTURE_PATH,
+        meta=np.str_(json.dumps({
+            "keys_shapes": [[k, list(s)] for k, s in keys_shapes],
+            "tol": HYBRID_TOL, "gen_diff": d})),
+        out=out_t)
+    print(f"wrote {HYBRID_FIXTURE_PATH} "
+          f"({HYBRID_FIXTURE_PATH.stat().st_size / 1e6:.2f} MB)")
+
+
 def main():
     import torch
 
@@ -241,9 +305,12 @@ if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", choices=["flagship", "unetr"], default=None)
+    ap.add_argument("--only", choices=["flagship", "unetr", "hybrid"],
+                    default=None)
     a = ap.parse_args()
     if a.only in (None, "flagship"):
         main()
     if a.only in (None, "unetr"):
         main_unetr()
+    if a.only in (None, "hybrid"):
+        main_hybrid()

@@ -21,7 +21,9 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-REGION = 1022  # patch-14 flagship: 73x73 grid = 5329 tokens (+5 prefix)
+REGION = 1024  # patch-14 flagship: 73x73 grid = 5329 tokens (+5 prefix)
+# (check_input_size requires a power-of-2 region; the conv patch embed
+# drops the 2-px remainder exactly like torch's floor conv arithmetic)
 
 
 def slope(fn, args, sizes=(2, 6)):

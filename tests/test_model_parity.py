@@ -334,6 +334,28 @@ def test_unetr_geometry_golden_fixture():
                                rtol=0)
 
 
+def test_hybrid_geometry_golden_fixture():
+    """Golden-fixture lock for the HEMIT-hybrid family (VERDICT r4 #10):
+    deterministic torch-layout checkpoint -> hybrid_swint_from_torch ->
+    HybridSwinT forward (production channel plan; window 4 so stage 0
+    runs a real shifted-window block) must match the frozen
+    timm-semantics torch-oracle output — torch-free at test time.
+    Regenerate with scripts/make_parity_fixtures.py --only hybrid."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+    from make_parity_fixtures import run_jax_hybrid
+
+    path = Path(__file__).parent / "fixtures/parity_hybrid_geom.npz"
+    z = np.load(path)
+    meta = json.loads(str(z["meta"]))
+    out_j = run_jax_hybrid([(k, tuple(s)) for k, s in meta["keys_shapes"]])
+    np.testing.assert_allclose(out_j, z["out"], atol=meta["tol"]["out"],
+                               rtol=0)
+
+
 def test_im2col_conv_matches_xla(rng):
     """BasicConv3x3 impl="im2col" (9-tap patches + one full-depth matmul)
     must match the plain 3x3 conv with the same params."""

@@ -368,3 +368,252 @@ class OracleUnetr(nn.Module):
         outs = [getattr(self, f"segmentation_head_{k}")(h)
                 for k in range(self.out_chans)]
         return torch.cat(outs, 1)
+
+
+# ---------------------------------------------------------------------------
+# Swin (timm layout/semantics) + HEMIT HybridSwinT
+# (reference hemit_models.py:489-533 builds the branch via
+# timm.models.swin_transformer.SwinTransformer; the oracle implements
+# timm's documented semantics independently of the jax module code)
+
+
+def _rel_index(win):
+    import itertools
+
+    idx = torch.zeros(win * win, win * win, dtype=torch.long)
+    coords = list(itertools.product(range(win), range(win)))
+    for a, (ya, xa) in enumerate(coords):
+        for b, (yb, xb) in enumerate(coords):
+            dy, dx = ya - yb + win - 1, xa - xb + win - 1
+            idx[a, b] = dy * (2 * win - 1) + dx
+    return idx
+
+
+class OracleWindowAttention(nn.Module):
+    def __init__(self, dim, heads, win, qkv_bias=False):
+        super().__init__()
+        self.heads, self.win = heads, win
+        self.qkv = nn.Linear(dim, 3 * dim, bias=qkv_bias)
+        self.proj = nn.Linear(dim, dim)
+        self.relative_position_bias_table = nn.Parameter(
+            torch.zeros((2 * win - 1) ** 2, heads))
+        self.register_buffer("rel_index", _rel_index(win), persistent=False)
+
+    def forward(self, x, mask=None):
+        # x: [Bw, N, C]
+        bw, n, c = x.shape
+        d = c // self.heads
+        q, k, v = self.qkv(x).reshape(bw, n, 3, self.heads, d).permute(
+            2, 0, 3, 1, 4)
+        logits = (q * d ** -0.5) @ k.transpose(-2, -1)
+        bias = self.relative_position_bias_table[
+            self.rel_index.reshape(-1)].reshape(n, n, self.heads)
+        logits = logits + bias.permute(2, 0, 1)[None]
+        if mask is not None:
+            nw = mask.shape[0]
+            logits = logits.view(bw // nw, nw, self.heads, n, n) \
+                + mask[None, :, None]
+            logits = logits.view(bw, self.heads, n, n)
+        attn = logits.softmax(-1)
+        out = (attn @ v).transpose(1, 2).reshape(bw, n, c)
+        return self.proj(out)
+
+
+class OracleSwinBlock(nn.Module):
+    """timm SwinTransformerBlock: per-block window/shift clamped to the
+    stage grid (_calc_window_shift), cyclic shift + region mask."""
+
+    def __init__(self, dim, heads, grid, window, shift, mlp_ratio=4.0,
+                 qkv_bias=False):
+        super().__init__()
+        self.grid = grid
+        self.win = min(window, grid)
+        self.shift = shift if grid > self.win else 0
+        self.norm1 = nn.LayerNorm(dim, eps=1e-5)
+        self.attn = OracleWindowAttention(dim, heads, self.win, qkv_bias)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-5)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(dim, int(dim * mlp_ratio))
+        self.mlp.fc2 = nn.Linear(int(dim * mlp_ratio), dim)
+        if self.shift:
+            m = torch.zeros(grid, grid, dtype=torch.long)
+            cnt = 0
+            for hs in (slice(0, -self.win), slice(-self.win, -self.shift),
+                       slice(-self.shift, None)):
+                for ws in (slice(0, -self.win), slice(-self.win, -self.shift),
+                           slice(-self.shift, None)):
+                    m[hs, ws] = cnt
+                    cnt += 1
+            mw = self._part(m[None, :, :, None]).squeeze(-1)   # [nW, n]
+            diff = mw[:, None, :] - mw[:, :, None]
+            self.register_buffer(
+                "attn_mask", torch.where(diff != 0, -100.0, 0.0),
+                persistent=False)
+        else:
+            self.attn_mask = None
+
+    def _part(self, x):
+        b, h, w, c = x.shape
+        x = x.view(b, h // self.win, self.win, w // self.win, self.win, c)
+        return x.permute(0, 1, 3, 2, 4, 5).reshape(-1, self.win * self.win, c)
+
+    def _unpart(self, x, b, h, w):
+        c = x.shape[-1]
+        x = x.view(b, h // self.win, w // self.win, self.win, self.win, c)
+        return x.permute(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+
+    def forward(self, x):
+        # x: [B, H, W, C]
+        b, h, w, c = x.shape
+        shortcut = x
+        x = self.norm1(x)
+        if self.shift:
+            x = torch.roll(x, (-self.shift, -self.shift), dims=(1, 2))
+        x = self.attn(self._part(x), self.attn_mask)
+        x = self._unpart(x, b, h, w)
+        if self.shift:
+            x = torch.roll(x, (self.shift, self.shift), dims=(1, 2))
+        x = shortcut + x
+        y = self.norm2(x)
+        y = self.mlp.fc2(F.gelu(self.mlp.fc1(y)))
+        return x + y
+
+
+class OraclePatchMerging(nn.Module):
+    def __init__(self, dim_in, dim_out):
+        super().__init__()
+        self.norm = nn.LayerNorm(4 * dim_in, eps=1e-5)
+        self.reduction = nn.Linear(4 * dim_in, dim_out, bias=False)
+
+    def forward(self, x):
+        b, h, w, c = x.shape
+        x = x.view(b, h // 2, 2, w // 2, 2, c)
+        x = torch.cat([x[:, :, 0, :, 0], x[:, :, 1, :, 0],
+                       x[:, :, 0, :, 1], x[:, :, 1, :, 1]], -1)
+        return self.reduction(self.norm(x))
+
+
+class OracleSwinStage(nn.Module):
+    def __init__(self, dim_in, dim_out, depth, heads, grid, window,
+                 downsample, qkv_bias=False):
+        super().__init__()
+        self.downsample = (OraclePatchMerging(dim_in, dim_out)
+                           if downsample else nn.Identity())
+        self.blocks = nn.ModuleList([
+            OracleSwinBlock(dim_out, heads, grid, window,
+                            0 if i % 2 == 0 else window // 2, 4.0, qkv_bias)
+            for i in range(depth)])
+
+    def forward(self, x):
+        x = self.downsample(x)
+        for blk in self.blocks:
+            x = blk(x)
+        return x
+
+
+class OracleSwin(nn.Module):
+    """timm-layout SwinTransformer: patch_embed.proj/.norm, layers.{si}
+    (downsample-first), final norm; returns (normed final, stage taps)."""
+
+    def __init__(self, in_chans, embed_dim, depths, heads, window, patch,
+                 grid0, qkv_bias=False):
+        super().__init__()
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(in_chans, embed_dim, patch, patch)
+        self.patch_embed.norm = nn.LayerNorm(embed_dim, eps=1e-5)
+        self.layers = nn.ModuleList()
+        for si, (depth, h) in enumerate(zip(depths, heads)):
+            dim = embed_dim * 2 ** si
+            self.layers.append(OracleSwinStage(
+                dim // 2, dim, depth, h, grid0 // 2 ** si, window,
+                downsample=si > 0, qkv_bias=qkv_bias))
+        self.norm = nn.LayerNorm(embed_dim * 2 ** (len(depths) - 1), eps=1e-5)
+
+    def forward(self, x):
+        # x: [B, C, H, W] -> NHWC tokens
+        x = self.patch_embed.proj(x).permute(0, 2, 3, 1)
+        x = self.patch_embed.norm(x)
+        taps = []
+        for layer in self.layers:
+            x = layer(x)
+            taps.append(x)
+        return self.norm(x), taps
+
+
+class OracleUpConv(nn.Sequential):
+    """Decoder_hbrid upsample_and_conv slot: Upsample(2x bilinear
+    align_corners=True) + Conv3x3 pad 1."""
+
+    def __init__(self, cin, cout):
+        super().__init__(
+            nn.Upsample(scale_factor=2, mode="bilinear", align_corners=True),
+            nn.Conv2d(cin, cout, 3, 1, 1))
+
+
+class OracleHybridSwinT(nn.Module):
+    """HEMIT HybridSwinT (reference hemit_models.py:489-533 + Decoder_hbrid
+    :571-681): CNN /8 front end -> timm Swin(patch 4) -> U-decoder over
+    both branches' taps. Key layout matches hybrid_swint_from_torch."""
+
+    def __init__(self, out_channels=3, cnn_channels=(16, 32, 64),
+                 embed_dim=96, depths=(2, 2, 3, 1),
+                 num_heads=(3, 6, 12, 24), window_size=4, patch_size=4,
+                 img_size=256):
+        super().__init__()
+        layers = []
+        cin = 3
+        for ch in cnn_channels:
+            layers += [nn.Conv2d(cin, ch, 3, 1, 1), nn.BatchNorm2d(ch),
+                       nn.ReLU(), nn.MaxPool2d(2, 2)]
+            cin = ch
+        self.cnn_block = nn.Sequential(*layers)
+        grid0 = img_size // 2 ** len(cnn_channels) // patch_size
+        self.model = OracleSwin(cnn_channels[-1], embed_dim, depths,
+                                num_heads, window_size, patch_size, grid0)
+        d = embed_dim * 2 ** (len(depths) - 1)
+        e = embed_dim
+        c4 = (e // 4 + cnn_channels[2]) // 2
+        c5 = (c4 // 2 + cnn_channels[1]) // 2
+        c6 = (c5 // 2 + 1 + cnn_channels[0]) // 2
+        self.decoder = nn.Module()
+        dec = self.decoder
+        dec.upsample_and_conv1 = OracleUpConv(d, d // 2)
+        dec.conv1 = nn.Conv2d(d, d // 2, 3, 1, 1)
+        dec.upsample_and_conv2 = OracleUpConv(d // 2, d // 4)
+        dec.conv2 = nn.Conv2d(d // 2, d // 4, 3, 1, 1)
+        dec.upsample_and_conv3 = OracleUpConv(d // 4, d // 8)
+        dec.conv3 = nn.Conv2d(d // 4, d // 8, 3, 1, 1)
+        dec.upsample_and_conv4 = OracleUpConv(d // 8, e // 2)
+        dec.upsample_and_conv5 = OracleUpConv(e // 2, e // 4)
+        dec.conv4 = nn.Conv2d(e // 4 + cnn_channels[2], c4, 3, 1, 1)
+        dec.upsample_and_conv6 = OracleUpConv(c4, c4 // 2)
+        dec.conv5 = nn.Conv2d(c4 // 2 + cnn_channels[1], c5, 3, 1, 1)
+        dec.upsample_and_conv7 = OracleUpConv(c5, c5 // 2 + 1)
+        dec.conv6 = nn.Conv2d(c5 // 2 + 1 + cnn_channels[0], c6, 3, 1, 1)
+        dec.upsample_and_conv8 = OracleUpConv(c6, out_channels)
+
+    def forward(self, x):
+        cnn_taps = []
+        h = x
+        for i in range(0, len(self.cnn_block), 4):
+            h = self.cnn_block[i + 3](self.cnn_block[i + 2](
+                self.cnn_block[i + 1](self.cnn_block[i](h))))
+            cnn_taps.append(h)
+        root_tokens, taps = self.model(h)
+        root = root_tokens.permute(0, 3, 1, 2)
+        swin = [t.permute(0, 3, 1, 2) for t in taps]
+        dec = self.decoder
+        y = dec.upsample_and_conv1(root)
+        y = dec.conv1(torch.cat([y, swin[2]], 1))
+        y = dec.upsample_and_conv2(y)
+        y = dec.conv2(torch.cat([y, swin[1]], 1))
+        y = dec.upsample_and_conv3(y)
+        y = dec.conv3(torch.cat([y, swin[0]], 1))
+        y = dec.upsample_and_conv4(y)
+        y = dec.upsample_and_conv5(y)
+        y = dec.conv4(torch.cat([y, cnn_taps[2]], 1))
+        y = dec.upsample_and_conv6(y)
+        y = dec.conv5(torch.cat([y, cnn_taps[1]], 1))
+        y = dec.upsample_and_conv7(y)
+        y = dec.conv6(torch.cat([y, cnn_taps[0]], 1))
+        return torch.tanh(dec.upsample_and_conv8(y))
