@@ -100,7 +100,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
     @pl.when(kv_idx == kv_steps - 1)
     def _finalize():
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
-        lse_ref[0] = (m_ref[:] + jnp.log(l_ref[:]))[:, 0]
+        # lse rides as [bh, S, 1] (lane dim 1 == full array dim) — a 2-D
+        # [bh, S] row output with block (1, BLK) is rejected by Mosaic's
+        # (8, 128) block-divisibility rule on real TPUs.
+        lse_ref[0] = m_ref[:] + jnp.log(l_ref[:])
 
 
 def _short_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, group: int):
@@ -181,11 +184,11 @@ def _long_forward(q, k, v, seq_len: int, interpret: bool):
         ],
         out_specs=[
             pl.BlockSpec((1, block, d), lambda g, i, j: (g, i, 0)),
-            pl.BlockSpec((1, block), lambda g, i, j: (g, i)),
+            pl.BlockSpec((1, block, 1), lambda g, i, j: (g, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, s, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, s), jnp.float32),
+            jax.ShapeDtypeStruct((bh, s, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block, d), jnp.float32),
@@ -291,11 +294,11 @@ def _cross_forward(q, k, v, seq_len_k: int, interpret: bool):
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
-            pl.BlockSpec((1, block_q), lambda g, i, j: (g, i)),
+            pl.BlockSpec((1, block_q, 1), lambda g, i, j: (g, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, sq_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, sq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sq_pad, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
@@ -328,8 +331,8 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0].astype(jnp.float32)           # [BLK_K, D]
     v = v_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)         # [BLK_Q, D]
-    lse = lse_ref[0][:, None]                  # [BLK_Q, 1]
-    delta = delta_ref[0][:, None]              # [BLK_Q, 1]
+    lse = lse_ref[0]                           # [BLK_Q, 1]
+    delta = delta_ref[0]                       # [BLK_Q, 1]
 
     s_ij = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -367,8 +370,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0]
+    delta = delta_ref[0]
 
     s_ij = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -395,12 +398,13 @@ def _long_backward(q, k, v, out, lse, g, seq_len: int, interpret: bool):
     steps = s // block
     scale = 1.0 / float(np.sqrt(d))
     qf, kf, vf, gf = (t.reshape(bh, s, d) for t in (q, k, v, g))
-    # delta = rowsum(dO * O): one fused elementwise pass in XLA
+    # delta = rowsum(dO * O): one fused elementwise pass in XLA.
+    # lse/delta ride as [bh, S, 1] (see _flash_kernel._finalize).
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
-                    axis=-1).reshape(bh, s)
+                    axis=-1).reshape(bh, s, 1)
 
     qkv_spec = pl.BlockSpec((1, block, d), lambda gidx, i, j: (gidx, j, 0))
-    row_spec = pl.BlockSpec((1, block), lambda gidx, i, j: (gidx, j))
+    row_spec = pl.BlockSpec((1, block, 1), lambda gidx, i, j: (gidx, j, 0))
     kv_spec = pl.BlockSpec((1, block, d), lambda gidx, i, j: (gidx, i, 0))
 
     dk, dv = pl.pallas_call(
@@ -419,7 +423,7 @@ def _long_backward(q, k, v, out, lse, g, seq_len: int, interpret: bool):
     )(qf, kf, vf, gf, lse, delta)
 
     q_spec = pl.BlockSpec((1, block, d), lambda gidx, i, j: (gidx, i, 0))
-    qrow_spec = pl.BlockSpec((1, block), lambda gidx, i, j: (gidx, i))
+    qrow_spec = pl.BlockSpec((1, block, 1), lambda gidx, i, j: (gidx, i, 0))
     kvj_spec = pl.BlockSpec((1, block, d), lambda gidx, i, j: (gidx, j, 0))
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, seq_len=seq_len, kv_steps=steps,
