@@ -26,22 +26,25 @@ REGION = 1024  # patch-14 flagship: 73x73 grid = 5329 tokens (+5 prefix)
 # drops the 2-px remainder exactly like torch's floor conv arithmetic)
 
 
-def slope(fn, args, sizes=(2, 6)):
+def slope(fn, params, x, sizes=(2, 6)):
+    """Two-point slope fit; params ride as jit ARGUMENTS (a closure would
+    bake the 2.3 GB param tree into the executable as captured constants,
+    which the tunneled dev box then re-uploads per compile at ~7 MB/s)."""
     import jax
     import jax.numpy as jnp
 
     times = []
     for n in sizes:
         @jax.jit
-        def loop(a, seed, n=n):
+        def loop(p, a, seed, n=n):
             def body(c, i):
-                out = fn(a + (seed + i.astype(jnp.float32)) * 1e-6)
+                out = fn(p, a + (seed + i.astype(jnp.float32)) * 1e-6)
                 return c + out.mean(), None
             return jax.lax.scan(body, 0.0, jnp.arange(n))[0]
 
-        float(loop(*args, 0.0))
+        float(loop(params, x, 0.0))
         t0 = time.time()
-        float(loop(*args, 1.0))
+        float(loop(params, x, 1.0))
         times.append(time.time() - t0)
     return (times[1] - times[0]) / (sizes[1] - sizes[0])
 
@@ -63,7 +66,7 @@ def main():
     for b in (1, 2):
         x = jax.random.normal(jax.random.PRNGKey(1),
                               (b, REGION, REGION, 3))
-        t = slope(lambda xx: model.apply(params, xx, train=False), (x,))
+        t = slope(lambda p, xx: model.apply(p, xx, train=False), params, x)
         # equivalent 256-px tile work: (REGION/256)^2 tiles per region
         eq_tiles = b * (REGION / 256.0) ** 2
         print(f"region fwd B={b}: {t * 1e3:8.1f} ms/batch   "
