@@ -33,7 +33,13 @@ def get_generator(model_name: str, img_size, nc_in: int, nc_out: int, cfg=None,
             # the mesh's model axis (parallel/seq.py; run_inference
             # --seq_shard sets this)
             vit_cfg = vit_cfg.replace(
-                attn_impl=cfg.select("model.attn_impl", vit_cfg.attn_impl))
+                attn_impl=cfg.select("model.attn_impl", vit_cfg.attn_impl),
+                # training-backward knob: which residuals the encoder-block
+                # remat pins (grad-identical by test; measured menu in
+                # BASELINE.md — the flagship preset picks "fc1" with
+                # microbatch 8 + grad_accum 2)
+                remat_policy=cfg.select("model.remat_policy",
+                                        vit_cfg.remat_policy))
         return MipheiViT(vit_cfg=vit_cfg, out_chans=nc_out)
 
     if model_name.startswith("smp_unet"):

@@ -88,3 +88,25 @@ def test_multirun_no_sweep_single_job():
 
     jobs = compose_multirun(["+default_configs=miphei-vit"])
     assert len(jobs) == 1 and jobs[0][0] == "0"
+
+
+def test_flagship_preset_adopts_measured_remat_winner():
+    """The miphei-vit preset encodes the BASELINE.md remat-menu winner:
+    remat_policy=fc1 at microbatch 8 x grad_accum 2 (the reference's
+    effective batch 16 — reference configs/config.yaml:17-23), and
+    get_generator plumbs model.remat_policy into the ViT config."""
+    from mipheivit_tpu.config import compose
+    from mipheivit_tpu.models import get_generator
+
+    cfg = compose(["+default_configs=miphei-vit"])
+    assert cfg.train.batch_size * cfg.train.grad_accum_steps == 16
+    assert cfg.model.remat_policy == "fc1"
+
+    model = get_generator("myvitmatte", 256, 3, 16, cfg)
+    assert model.vit_cfg.remat_policy == "fc1"
+
+    # an explicit override still wins
+    cfg2 = compose(["+default_configs=miphei-vit",
+                    "++model.remat_policy=full"])
+    model2 = get_generator("myvitmatte", 256, 3, 16, cfg2)
+    assert model2.vit_cfg.remat_policy == "full"
