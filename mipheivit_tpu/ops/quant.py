@@ -2,11 +2,17 @@
 
 The v5e MXU runs int8 x int8 -> int32 at twice the bf16 rate (394 TOPS vs
 197 TFLOP/s), and the ViT-g encoder's Dense matmuls are ~77% of the
-flagship forward — so a W8A8 serving mode roughly halves the dominant
-term. This is an *opt-in* transform (``infer.loading.quantize_encoder`` /
-``bench.py --int8``): the bf16 path stays the default because the parity
-budget vs the torch reference (BASELINE.md, 0.5% Pearson) is reserved for
-import/compute exactness, not quantization error.
+flagship forward — so a W8A8 serving mode *can* roughly halve the
+dominant term. This is an *opt-in* transform
+(``infer.loading.quantize_encoder`` / ``bench.py --int8``): the bf16 path
+stays the default because (a) the parity budget vs the torch reference
+(BASELINE.md, 0.5% Pearson) is reserved for import/compute exactness, not
+quantization error, and (b) the throughput win is unproven — on the
+tunneled dev chip, executables containing int8 dots show random
+multi-second per-execution stalls that bf16 never does, making the mode
+unmeasurable there and on-average slower (BASELINE.md "int8 W8A8
+serving: measured negative"). Re-measure on a host-local TPU VM before
+enabling in production.
 
 Scheme (standard symmetric PTQ):
   * weights:     per-output-channel int8, scale = max|w[:, j]| / 127,

@@ -31,8 +31,10 @@ def main() -> None:
     parser.add_argument("--overlap", default=64, type=int)
     parser.add_argument("--int8", action="store_true",
                         help="opt-in W8A8 serving: quantize the ViT encoder"
-                             " matmuls + decoder fusion convs to int8"
-                             " (2x MXU rate; bf16 default)")
+                             " matmuls + decoder fusion convs to int8."
+                             " Accuracy-gated; measure throughput on your"
+                             " hardware first (BASELINE.md: unmeasurable on"
+                             " the tunneled dev chip; bf16 is the default)")
     parser.add_argument("--seq_shard", action="store_true",
                         help="whole-region serving: shard the token axis "
                              "over all devices (use with a large "
