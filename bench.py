@@ -96,7 +96,7 @@ def main(int8: bool = False):
     x = jax.random.normal(jax.random.PRNGKey(1),
                           (batch, cfg_model[1], cfg_model[1], 3))
 
-    times = []
+    loops = {}
     for n in sizes:
         @jax.jit
         def loop(p, x, seed, n=n):
@@ -105,13 +105,32 @@ def main(int8: bool = False):
                                   train=False)
                 return c + out.mean(), None
             return jax.lax.scan(body, 0.0, jnp.arange(n))[0]
+        loops[n] = loop
+        float(loop(params, x, -float(n)))    # compile + warm
 
-        float(loop(params, x, 0.0))          # compile + warm
-        t0 = time.time()
-        float(loop(params, x, 1.0))          # distinct seed: no result cache
-        times.append(time.time() - t0)
-
-    per_batch = (times[1] - times[0]) / (sizes[1] - sizes[0])
+    # int8 executables show random multi-second per-execution stalls on
+    # the tunneled dev chip (bf16 is stable to 0.3% — BASELINE.md "int8
+    # W8A8 serving: measured negative"), so a single slope fit can
+    # fabricate any number from ~50 to ~430 tiles/s. Take the median of
+    # several fits and surface the spread; one rep suffices for bf16.
+    reps = 5 if (int8 and on_tpu) else 1
+    fits = []
+    for r in range(reps):
+        times = []
+        for n in sizes:
+            t0 = time.time()
+            # distinct seed every execution: the dev tunnel caches
+            # identical executions
+            float(loops[n](params, x, 1.0 + 10.0 * r))
+            times.append(time.time() - t0)
+        fits.append((times[1] - times[0]) / (sizes[1] - sizes[0]))
+    usable = sorted(t for t in fits if t > 0) or sorted(fits)
+    per_batch = usable[len(usable) // 2]
+    if reps > 1:
+        spread = ", ".join(f"{t * 1e3:.0f}" for t in sorted(fits))
+        print(f"[bench] int8 slope fits (ms/batch, sorted): {spread} — "
+              f"median reported; treat a wide spread as an unreliable "
+              f"measurement environment", file=sys.stderr)
     tiles_per_s = batch / per_batch
     short = {"bfloat16": "bf16", "float32": "f32"}.get(dtype, dtype)
     kind = "int8 W8A8 serving fwd" if int8 else f"{short} fwd"
