@@ -222,13 +222,22 @@ def wsi_main(slide_px: int, batch_size: int = 0):
         f"finalize {stats['finalize_s']:.2f} s\n"
         f"[wsi-bench] transfer-artifact-free bound: {no_transfer_line}",
         file=sys.stderr)
-    print(json.dumps({
+    row = {
         "metric": "mIF tiles/sec/chip (whole-slide stitched serving, "
                   f"{slide_px}px synthetic slide)",
         "value": round(tiles_per_s, 1),
         "unit": "tiles/s",
         "vs_baseline": round(tiles_per_s / A100_TILES_PER_S, 3),
-    }))
+    }
+    if no_transfer > 0.01 * steady:
+        # on this dev box the result fetch rides a slow tunnel; the bound
+        # below removes exactly that term (it is what the same loop does
+        # on a host-local TPU VM where fetches ride PCIe)
+        row["note"] = (
+            f"device-wait {1000 * stats['device_wait_s'] / nsb:.0f} ms/"
+            f"batch is dev-tunnel transfer; artifact-free bound "
+            f"{steady_tiles / no_transfer:.1f} tiles/s")
+    print(json.dumps(row))
 
 
 def _tpu_probe_once(timeout_s: int = 120) -> bool:
