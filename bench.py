@@ -150,6 +150,12 @@ def main(int8: bool = False):
         "unit": "tiles/s",
         "vs_baseline": round(tiles_per_s / A100_TILES_PER_S, 3),
     }
+    if reps > 1 and (min(fits) <= 0 or max(fits) > 1.5 * usable[0]):
+        result["note"] = (
+            "UNRELIABLE: slope fits scattered "
+            f"{', '.join(f'{t * 1e3:.0f}' for t in sorted(fits))} ms/batch "
+            "(per-execution stalls — see BASELINE.md int8 verdict); "
+            "median of positive fits reported")
     print(json.dumps(result))
     return result
 
