@@ -21,9 +21,11 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-REGION = 1024  # patch-14 flagship: 73x73 grid = 5329 tokens (+5 prefix)
-# (check_input_size requires a power-of-2 region; the conv patch embed
-# drops the 2-px remainder exactly like torch's floor conv arithmetic)
+# patch-14 flagship: 1024 -> 73x73 grid = 5329 tokens (+5 prefix);
+# 2048 -> 146x146 = 21316 tokens (the scale that motivates seq-sharding).
+# check_input_size requires a power-of-2 region; the conv patch embed
+# drops the remainder exactly like torch's floor conv arithmetic.
+REGION = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 
 
 def slope(fn, params, x, sizes=(2, 6)):
@@ -63,7 +65,8 @@ def main():
           f"tokens={tokens}")
     assert tokens > 4096, "not a long-seq shape"
 
-    for b in (1, 2):
+    # at 2048 (21k tokens) a single region is already a full-chip batch
+    for b in ((1, 2) if REGION <= 1024 else (1,)):
         x = jax.random.normal(jax.random.PRNGKey(1),
                               (b, REGION, REGION, 3))
         t = slope(lambda p, xx: model.apply(p, xx, train=False), params, x)
