@@ -333,3 +333,57 @@ def test_orbax_snapshot_retention(tmp_path):
     # keep_last=0 disables pruning
     save_train_state(tree, d, step=20, keep_last=0)
     assert len(list(Path(d).glob("state_*"))) == 3
+
+
+def test_tile_server_from_checkpoint(inference_setup, monkeypatch):
+    """Production serving path e2e: TileServer.from_checkpoint on a
+    reference-format checkpoint dir serves HTTP predictions that match the
+    direct normalized forward through the uint8 output codec."""
+    import io
+    import urllib.request
+
+    cfg, ckpt_dir, vit_cfg, (model, variables) = inference_setup
+    import mipheivit_tpu.infer.loading as loading
+
+    monkeypatch.setattr(
+        loading, "build_generator",
+        lambda cfg, img_size, nc_out, dtype="float32":
+        MipheiViT(vit_cfg=vit_cfg, out_chans=nc_out))
+
+    from mipheivit_tpu.data.stats import Normalizer, get_input_mean_std
+    from mipheivit_tpu.infer import TileServer
+    from mipheivit_tpu.infer.tiles import predictions_to_uint8
+
+    server = TileServer.from_checkpoint(ckpt_dir, tile_size=32, batch_size=2,
+                                        max_delay_ms=5, host="127.0.0.1",
+                                        port=0)
+    server.start()
+    try:
+        rng = np.random.default_rng(7)
+        tile = rng.integers(0, 256, (32, 32, 3), np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, tile)
+        req = urllib.request.Request(
+            f"http://{server.host}:{server.port}/v1/predict",
+            data=buf.getvalue())
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.headers["X-Markers"] == "CD31,CD3e,Ki67"
+            pred = np.load(io.BytesIO(r.read()))
+        assert pred.shape == (32, 32, 3) and pred.dtype == np.uint8
+
+        # oracle: same checkpoint through load_generator + host normalizer.
+        # The served model has fast heads + merged LoRA (exact-numerics
+        # transforms), so agreement is within the codec rounding step.
+        from mipheivit_tpu.data.stats import load_channel_stats
+        from mipheivit_tpu.infer.loading import load_generator
+
+        channel_stats = load_channel_stats(cfg.data.channel_stats_path)
+        norm = Normalizer(get_input_mean_std(
+            cfg.model.model_name, cfg.select("model.encoder.encoder_name"),
+            channel_stats.rgb), mode="he")
+        m2, v2 = load_generator(cfg, ckpt_dir, (32, 32), 3)
+        x = jnp.asarray(norm(tile[None].astype(np.float32)))
+        ref = predictions_to_uint8(np.asarray(m2.apply(v2, x, train=False))[0])
+        assert np.abs(pred.astype(int) - ref.astype(int)).max() <= 1
+    finally:
+        server.stop()
