@@ -152,6 +152,7 @@ def wsi_inference(
     read_workers: int = 8,
     queue_depth: int = 4,
     dispatch_depth: int = 2,
+    fetch_workers: int = 4,
     stats: Optional[dict] = None,
     seq_shard_mesh=None,
     fetch_uint8: bool = False,
@@ -171,8 +172,14 @@ def wsi_inference(
     to ``dispatch_depth`` jitted forward calls in flight (JAX async dispatch)
     and only blocks on the oldest result while the device is already working
     on the next — so tile decode and overlap stitching both hide behind TPU
-    compute. Per-phase timers (read-starvation vs device wait) are logged at
-    the end so host-boundedness is visible."""
+    compute. ``fetch_workers`` device->host result copies additionally run
+    concurrently (stitching still consumes them in dispatch order, which the
+    raster-order accumulator requires): on PCIe-local hardware one fetch
+    never stalls the pipeline, but when predictions egress over a network
+    (or this dev box's tunnel) overlapping the streams is the difference
+    between transfer-bound and compute-bound. Per-phase timers
+    (read-starvation vs device wait) are logged at the end so
+    host-boundedness is visible."""
     import jax
     import jax.numpy as jnp
 
@@ -307,27 +314,42 @@ def wsi_inference(
     threading.Thread(target=_producer, daemon=True,
                      name="wsi-read-producer").start()
 
-    # ---- stages 2+3: async dispatch, drain oldest while device computes ----
+    # ---- stages 2-4: async dispatch -> overlapped fetch -> ordered stitch --
     read_wait_s = 0.0
     device_wait_s = 0.0
     stitch_s = 0.0
     t_wall0 = time.perf_counter()
     t_first_drain = None       # steady-state marker (past the jit compile)
     tiles_drained = 0
-    pending: deque = deque()   # (device_pred, coords, n)
+    pending: deque = deque()      # dispatched, fetch not yet started
+    fetching: deque = deque()     # (future(preds), coords, n) — FIFO = order
+    fetch_pool = ThreadPoolExecutor(max(1, fetch_workers),
+                                    thread_name_prefix="wsi-fetch")
 
-    def _drain_one():
-        nonlocal device_wait_s, stitch_s, t_first_drain, tiles_drained
-        pred_dev, coords, n = pending.popleft()
-        first = t_first_drain is None
-        t0 = time.perf_counter()
+    def _fetch_pred(pred_dev, n):
         # fetch in f16 (half the transfer), but widen immediately: numpy
         # f16 arithmetic is scalar-emulated (~50x slower) and would move
         # the bottleneck into the feathered accumulator
-        preds = np.asarray(pred_dev)[:n].astype(np.float32)
+        return np.asarray(pred_dev)[:n].astype(np.float32)
+
+    def _start_fetch():
+        pred_dev, coords, n = pending.popleft()
+        fetching.append(
+            (fetch_pool.submit(_fetch_pred, pred_dev, n), coords, n))
+
+    def _stitch_one():
+        """Block on the OLDEST in-flight fetch (dispatch order — the rolling
+        accumulator needs raster order) and feather it in."""
+        nonlocal device_wait_s, stitch_s, t_first_drain, tiles_drained
+        fut, coords, n = fetching.popleft()
+        first = t_first_drain is None
+        t0 = time.perf_counter()
+        preds = fut.result()
         t1 = time.perf_counter()
         if not first:
-            # skip the compile-absorbing first batch so the accumulated
+            # pipeline-stall accounting: time the stitcher actually waited
+            # on the transfer (overlapped fetches don't double-count), with
+            # the compile-absorbing first batch skipped so the accumulated
             # device-wait matches the steady window it is subtracted from
             device_wait_s += t1 - t0
         for pred, (tx, ty) in zip(preds, coords):
@@ -359,9 +381,14 @@ def wsi_inference(
         if n_batches % 4 == 0:
             log.info("WSI progress: %d/%d tiles", n_tiles_seen, len(locs))
         while len(pending) > dispatch_depth:
-            _drain_one()
+            _start_fetch()
+        while len(fetching) > max(1, fetch_workers):
+            _stitch_one()
     while pending:
-        _drain_one()
+        _start_fetch()
+    while fetching:
+        _stitch_one()
+    fetch_pool.shutdown()
     if producer_err:
         raise producer_err[0]
 

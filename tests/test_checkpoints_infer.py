@@ -387,3 +387,36 @@ def test_tile_server_from_checkpoint(inference_setup, monkeypatch):
         assert np.abs(pred.astype(int) - ref.astype(int)).max() <= 1
     finally:
         server.stop()
+
+
+def test_wsi_overlapped_fetch_matches_serial(inference_setup, tmp_path):
+    """fetch_workers>1 overlaps device->host result copies; stitching
+    consumes them in dispatch order, so the output must be bit-identical
+    to the serial fetch_workers=1 path."""
+    cfg, ckpt_dir, vit_cfg, (model, variables) = inference_setup
+    from mipheivit_tpu.data.stats import Normalizer
+    from mipheivit_tpu.infer import wsi_inference
+
+    rng = np.random.default_rng(17)
+    he = rng.integers(60, 255, (3, 160, 128), dtype=np.uint8)
+    slide_path = str(tmp_path / "wsi5.tiff")
+    write_pyramid(slide_path, he, n_levels=2, tile_size=32)
+    norm = Normalizer({"mean": [180.0] * 3, "std": [40.0] * 3}, "he")
+    kwargs = dict(tile_size=32, overlap=8, batch_size=2, tissue_only=False,
+                  n_pyramid_levels=2)
+    stats_par: dict = {}
+    out_s = wsi_inference(model, variables, slide_path,
+                          str(tmp_path / "s.ome.tiff"),
+                          ["CD31", "CD3e", "Ki67"], norm,
+                          fetch_workers=1, **kwargs)
+    out_p = wsi_inference(model, variables, slide_path,
+                          str(tmp_path / "p.ome.tiff"),
+                          ["CD31", "CD3e", "Ki67"], norm,
+                          fetch_workers=4, stats=stats_par, **kwargs)
+    ts_, tp = TiffSlide(out_s), TiffSlide(out_p)
+    a = ts_.read_region((0, 0), 0, ts_.dimensions)
+    b = tp.read_region((0, 0), 0, tp.dimensions)
+    np.testing.assert_array_equal(a, b)
+    ts_.close(); tp.close()
+    # all tiles flowed through the overlapped path
+    assert stats_par["n_tiles"] == stats_par["steady_tiles"] + kwargs["batch_size"]
