@@ -158,10 +158,13 @@ class MicroBatcher:
 
 def build_serving_fn(model, variables, he_normalizer,
                      tile_size: int, batch_size: int,
-                     warmup: bool = True) -> Callable[[np.ndarray], np.ndarray]:
+                     warmup: bool = True,
+                     mesh=None) -> Callable[[np.ndarray], np.ndarray]:
     """Jitted uint8->uint8 forward: device-side H&E affine in, the
     reference's uint8 output codec ((y+0.9)/1.8*255, src/callbacks.py:344-346)
-    out. Returns a numpy->numpy callable for MicroBatcher."""
+    out. Returns a numpy->numpy callable for MicroBatcher. With ``mesh``,
+    the batch is sharded over the mesh's data axis (batch_size must divide
+    by the data-parallel size) — same layout as the stitched WSI driver."""
     import jax
     import jax.numpy as jnp
 
@@ -170,6 +173,11 @@ def build_serving_fn(model, variables, he_normalizer,
                          "(mode='he')")
     nmean = jnp.asarray(he_normalizer.mean)[None]
     nstd = jnp.asarray(he_normalizer.std)[None]
+    sharding = None
+    if mesh is not None:
+        from ..parallel import batch_sharding
+
+        sharding = batch_sharding(mesh)
 
     @jax.jit
     def fwd(v, x_u8):
@@ -179,7 +187,10 @@ def build_serving_fn(model, variables, he_normalizer,
         return jnp.rint(y).astype(jnp.uint8)
 
     def fwd_np(x: np.ndarray) -> np.ndarray:
-        return np.asarray(fwd(variables, jnp.asarray(x)))
+        xj = jnp.asarray(x)
+        if sharding is not None:
+            xj = jax.device_put(xj, sharding)
+        return np.asarray(fwd(variables, xj))
 
     if warmup:  # absorb the compile before /healthz goes green
         t0 = time.perf_counter()
@@ -212,7 +223,8 @@ class TileServer:
     def from_checkpoint(cls, checkpoint_dir: str, tile_size: int = 256,
                         batch_size: int = 32, max_delay_ms: float = 5.0,
                         host: str = "0.0.0.0", port: int = 8000,
-                        dtype: Optional[str] = None) -> "TileServer":
+                        dtype: Optional[str] = None,
+                        mesh=None) -> "TileServer":
         import jax
 
         from ..config import load_yaml
@@ -234,7 +246,7 @@ class TileServer:
         if cfg.model.model_name.startswith("myvitmatte"):
             model, variables = merge_lora(model, variables)
         fwd_np = build_serving_fn(model, variables, he_norm,
-                                  tile_size, batch_size)
+                                  tile_size, batch_size, mesh=mesh)
         return cls(fwd_np, tile_size, batch_size,
                    channel_names=list(cfg.data.targ_channel_names),
                    max_delay_ms=max_delay_ms, host=host, port=port)

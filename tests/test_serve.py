@@ -225,3 +225,30 @@ def test_serving_fn_matches_reference_codec():
     # device rint vs host truncate-after-clip: allow the 1-LSB rounding step
     assert got.dtype == np.uint8
     assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_serving_fn_mesh_matches_single_device():
+    """dp-sharded serving fn (8-device CPU mesh) == unsharded output."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from mipheivit_tpu.data.stats import Normalizer
+    from mipheivit_tpu.infer.serve import build_serving_fn
+    from mipheivit_tpu.parallel import make_data_mesh
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.tanh(nn.Conv(2, (3, 3))(x)) * 0.9
+
+    model = Tiny()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, TILE, TILE, 3)))
+    norm = Normalizer({"mean": [180.0, 120.0, 160.0],
+                       "std": [50.0, 40.0, 45.0]}, mode="he")
+    fwd_solo = build_serving_fn(model, params, norm, TILE, batch_size=8)
+    fwd_mesh = build_serving_fn(model, params, norm, TILE, batch_size=8,
+                                mesh=make_data_mesh(8))
+    rng = np.random.default_rng(4)
+    x = rng.integers(0, 256, (8, TILE, TILE, 3), np.uint8)
+    np.testing.assert_array_equal(fwd_mesh(x), fwd_solo(x))
