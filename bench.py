@@ -160,7 +160,7 @@ def main(int8: bool = False):
     return result
 
 
-def wsi_main(slide_px: int, batch_size: int = 0):
+def wsi_main(slide_px: int, batch_size: int = 0, fetch_workers: int = 4):
     """Whole-slide stitched serving bench (BASELINE.json's metric)."""
     import tempfile
     from pathlib import Path
@@ -195,7 +195,8 @@ def wsi_main(slide_px: int, batch_size: int = 0):
     out = str(tmp / "pred.ome.tiff")
     wsi_inference(model, params, slide, out, markers, norm,
                   tile_size=256, overlap=64, batch_size=batch,
-                  tissue_only=False, stats=stats, fetch_uint8=True)
+                  tissue_only=False, stats=stats, fetch_uint8=True,
+                  fetch_workers=fetch_workers)
 
     # joint fallback: with a single batch there is no steady window, so use
     # the full wall clock *and* the full tile count together (mixing the
@@ -301,6 +302,9 @@ if __name__ == "__main__":
                     help="bench the stitched whole-slide serving path")
     ap.add_argument("--slide-px", type=int, default=4096)
     ap.add_argument("--batch-size", type=int, default=0)
+    ap.add_argument("--fetch-workers", type=int, default=4,
+                    help="concurrent device->host result fetches in the WSI "
+                         "pipeline (1 = serial drain)")
     ap.add_argument("--headline-only", action="store_true",
                     help="emit only the bf16 forward headline (skip the "
                          "int8 and stitched-WSI auxiliary rows)")
@@ -316,7 +320,7 @@ if __name__ == "__main__":
         env.pop("PALLAS_AXON_POOL_IPS", None)
         os.execve(sys.executable, [sys.executable] + sys.argv, env)
     if args.wsi:
-        wsi_main(args.slide_px, args.batch_size)
+        wsi_main(args.slide_px, args.batch_size, args.fetch_workers)
     elif args.int8:
         main(int8=True)
     else:
